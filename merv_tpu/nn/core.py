@@ -1,0 +1,234 @@
+"""Functional NN core: parameter-pytree modules.
+
+Design: every module is a frozen dataclass holding only *static* configuration,
+with two pure methods:
+
+- ``init(key) -> params``  — build a nested dict of ``jnp`` arrays
+- ``__call__(params, *xs)`` — pure forward pass
+
+Parameters are plain pytrees, so ``jax.jit`` / ``pjit`` / ``optax`` / ``orbax``
+compose with no wrapper machinery — this replaces torch ``nn.Module`` state
+(reference models are torch modules, e.g. ``merv/util/nn_utils.py``) with the
+idiomatic-JAX functional form that XLA can shard and fuse.
+
+Mixed precision follows the TPU-native policy: parameters are stored in
+``param_dtype`` (fp32 for trainables, bf16 for frozen towers) and compute runs
+in ``compute_dtype`` (bf16 on the MXU), the analogue of the reference's
+autocast + FSDP MixedPrecision config (``merv/training/strategies/fsdp.py:212-230``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PyTree = Any
+Array = jax.Array
+DType = Any
+
+# ---------------------------------------------------------------------------
+# Initializers (match torch defaults where the reference trains from scratch)
+# ---------------------------------------------------------------------------
+
+
+def lecun_normal(key: Array, shape: Tuple[int, ...], dtype: DType, in_axis: int = 0) -> Array:
+    fan_in = shape[in_axis] if shape else 1
+    std = 1.0 / np.sqrt(fan_in)
+    return (jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32) * std).astype(dtype)
+
+
+def kaiming_uniform(key: Array, shape: Tuple[int, ...], dtype: DType, fan_in: int) -> Array:
+    """torch nn.Linear default weight init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) * sqrt(3)*sqrt(... )
+
+    torch uses kaiming_uniform_(a=sqrt(5)) => bound = sqrt(6 / ((1 + 5) * fan_in)) = 1/sqrt(fan_in).
+    """
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound).astype(dtype)
+
+
+def normal_init(std: float) -> Callable[[Array, Tuple[int, ...], DType], Array]:
+    def init(key: Array, shape: Tuple[int, ...], dtype: DType) -> Array:
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    return init
+
+
+def trunc_normal_init(std: float) -> Callable[[Array, Tuple[int, ...], DType], Array]:
+    def init(key: Array, shape: Tuple[int, ...], dtype: DType) -> Array:
+        return (jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32) * std).astype(dtype)
+
+    return init
+
+
+def zeros_init(key: Array, shape: Tuple[int, ...], dtype: DType) -> Array:
+    del key
+    return jnp.zeros(shape, dtype)
+
+
+def ones_init(key: Array, shape: Tuple[int, ...], dtype: DType) -> Array:
+    del key
+    return jnp.ones(shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Module base
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Module:
+    """Base for functional modules. Subclasses define ``init`` and ``__call__``."""
+
+    def init(self, key: Array) -> PyTree:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def param_shapes(self) -> PyTree:
+        """Shape/dtype tree without allocating memory (via eval_shape)."""
+        return jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
+
+
+def split_keys(key: Array, names: Sequence[str]) -> Dict[str, Array]:
+    keys = jax.random.split(key, len(names))
+    return dict(zip(names, keys))
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Linear(Module):
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+    param_dtype: DType = jnp.float32
+    kernel_init: Optional[Callable] = None
+
+    def init(self, key: Array) -> PyTree:
+        wkey, bkey = jax.random.split(key)
+        if self.kernel_init is not None:
+            kernel = self.kernel_init(wkey, (self.in_dim, self.out_dim), self.param_dtype)
+        else:
+            # torch nn.Linear default (kaiming_uniform over fan_in); kernel stored
+            # (in, out) — row-major for x @ W
+            kernel = kaiming_uniform(wkey, (self.in_dim, self.out_dim), self.param_dtype, self.in_dim)
+        params = {"kernel": kernel}
+        if self.use_bias:
+            params["bias"] = kaiming_uniform(bkey, (self.out_dim,), self.param_dtype, self.in_dim)
+        return params
+
+    def __call__(self, params: PyTree, x: Array) -> Array:
+        y = x @ params["kernel"].astype(x.dtype)
+        if self.use_bias:
+            y = y + params["bias"].astype(x.dtype)
+        return y
+
+
+@dataclass(frozen=True)
+class Embed(Module):
+    vocab_size: int
+    embed_dim: int
+    param_dtype: DType = jnp.float32
+
+    def init(self, key: Array) -> PyTree:
+        return {"embedding": normal_init(1.0)(key, (self.vocab_size, self.embed_dim), self.param_dtype)}
+
+    def __call__(self, params: PyTree, ids: Array, dtype: Optional[DType] = None) -> Array:
+        emb = params["embedding"]
+        out = jnp.take(emb, ids, axis=0)
+        return out.astype(dtype) if dtype is not None else out
+
+
+@dataclass(frozen=True)
+class LayerNorm(Module):
+    dim: int
+    eps: float = 1e-5
+    use_bias: bool = True
+    use_scale: bool = True
+    param_dtype: DType = jnp.float32
+
+    def init(self, key: Array) -> PyTree:
+        del key
+        p = {}
+        if self.use_scale:
+            p["scale"] = jnp.ones((self.dim,), self.param_dtype)
+        if self.use_bias:
+            p["bias"] = jnp.zeros((self.dim,), self.param_dtype)
+        return p
+
+    def __call__(self, params: PyTree, x: Array) -> Array:
+        # LN statistics in fp32 for stability, output in input dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.use_scale:
+            y = y * params["scale"].astype(jnp.float32)
+        if self.use_bias:
+            y = y + params["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+@dataclass(frozen=True)
+class RMSNorm(Module):
+    dim: int
+    eps: float = 1e-6
+    param_dtype: DType = jnp.float32
+
+    def init(self, key: Array) -> PyTree:
+        del key
+        return {"scale": jnp.ones((self.dim,), self.param_dtype)}
+
+    def __call__(self, params: PyTree, x: Array) -> Array:
+        xf = x.astype(jnp.float32)
+        y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        # llama applies the scale after casting back (HF: weight * hidden.to(input_dtype))
+        return (y.astype(x.dtype)) * params["scale"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Composite helpers
+# ---------------------------------------------------------------------------
+
+
+def gelu(x: Array) -> Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def gelu_tanh(x: Array) -> Array:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def quick_gelu(x: Array) -> Array:
+    """CLIP's QuickGELU: x * sigmoid(1.702 x) (used by LanguageBind towers)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACT2FN: Dict[str, Callable[[Array], Array]] = {
+    "gelu": gelu,
+    "gelu_tanh": gelu_tanh,
+    "gelu_new": gelu_tanh,
+    "gelu_pytorch_tanh": gelu_tanh,
+    "quick_gelu": quick_gelu,
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+}
+
+
+def count_params(params: PyTree) -> int:
+    return int(sum(np.prod(np.shape(x)) for x in jax.tree_util.tree_leaves(params)))
+
+
+def cast_tree(params: PyTree, dtype: DType) -> PyTree:
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, params)
+
+
+def freeze_spec(params: PyTree, trainable: bool) -> PyTree:
+    """Boolean pytree marking every leaf trainable/frozen (optax.masked input)."""
+    return jax.tree_util.tree_map(lambda _: trainable, params)

@@ -1,0 +1,73 @@
+"""Mesh + sharding-rule tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from merv_tpu.parallel import (
+    MeshConfig,
+    PartitionRules,
+    build_mesh,
+    fsdp_specs,
+    infer_fsdp_spec,
+    llm_tensor_parallel_rules,
+    shard_params,
+)
+
+
+def test_mesh_resolve():
+    assert MeshConfig(data=2, fsdp=-1, tensor=1).resolve(8) == (2, 4, 1)
+    assert MeshConfig(data=1, fsdp=8, tensor=1).resolve(8) == (1, 8, 1)
+    with pytest.raises(ValueError):
+        MeshConfig(data=3, fsdp=-1).resolve(8)
+
+
+def test_build_mesh_axes(mesh8):
+    assert mesh8.shape == {"data": 2, "fsdp": 4, "tensor": 1}
+
+
+def test_infer_fsdp_spec():
+    assert infer_fsdp_spec((4096, 11008), 4) == P(None, "fsdp")
+    assert infer_fsdp_spec((11008, 4096), 4) == P("fsdp", None)
+    # small params replicate
+    assert infer_fsdp_spec((4096,), 4) == P()
+    # indivisible largest axis falls through to next divisible axis
+    assert infer_fsdp_spec((4097, 4096), 4) == P(None, "fsdp")
+
+
+def test_shard_params_places_on_mesh(mesh8):
+    params = {
+        "layer": {"kernel": jnp.zeros((256, 512)), "bias": jnp.zeros((512,))},
+    }
+    specs = fsdp_specs(params, mesh8)
+    assert specs["layer"]["kernel"] == P(None, "fsdp")
+    assert specs["layer"]["bias"] == P()
+    sharded = shard_params(params, specs, mesh8)
+    shard_shape = sharded["layer"]["kernel"].sharding.shard_shape((256, 512))
+    assert shard_shape == (256, 128)
+
+
+def test_tp_rules_match_paths():
+    rules = llm_tensor_parallel_rules()
+    assert rules.spec_for("llm_backbone/layers/0/attn/q_proj/kernel") == P(None, "tensor")
+    assert rules.spec_for("llm_backbone/layers/3/mlp/down_proj/kernel") == P("tensor", None)
+    assert rules.spec_for("llm_backbone/layers/3/input_norm/scale") is None
+
+
+def test_pjit_matmul_runs_sharded(mesh8):
+    """End-to-end: sharded matmul over the mesh produces the same result as local."""
+    x = np.random.RandomState(0).randn(16, 256).astype(np.float32)
+    w = np.random.RandomState(1).randn(256, 512).astype(np.float32)
+    from jax.sharding import NamedSharding
+
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh8, P(("data", "fsdp"), None)))
+    ws = jax.device_put(jnp.asarray(w), NamedSharding(mesh8, P(None, "fsdp")))
+
+    @jax.jit
+    def f(x, w):
+        return x @ w
+
+    out = f(xs, ws)
+    np.testing.assert_allclose(np.asarray(out), x @ w, rtol=1e-5, atol=1e-5)
