@@ -38,6 +38,9 @@ Array = jax.Array
 
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
+# test hook: run the Pallas kernel in interpreter mode (validates kernel logic on CPU)
+_INTERPRET = False
+
 
 def _pick_block(seq: int, target: int) -> int:
     """Largest multiple-of-128 block <= target that tiles seq (seq pre-padded)."""
@@ -59,6 +62,7 @@ def attention_reference(
     kv_mask: Optional[Array] = None,
     bias: Optional[Array] = None,
     scale: Optional[float] = None,
+    q_offset: Optional[Array] = None,
 ) -> Array:
     """Materialized-scores attention. q:[B,H,Tq,D] k,v:[B,Hk,Tk,D] kv_mask:[B,Tk] bool."""
     B, H, Tq, D = q.shape
@@ -76,7 +80,8 @@ def attention_reference(
         logits = jnp.where(kv_mask[:, None, None, :], logits, DEFAULT_MASK_VALUE)
     if causal:
         Tk = k.shape[2]
-        qi = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0) + (Tk - Tq)
+        offset = (Tk - Tq) if q_offset is None else q_offset
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0) + offset
         ki = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
         logits = jnp.where((ki <= qi)[None, None], logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
@@ -89,7 +94,8 @@ def attention_reference(
 
 
 def _flash_fwd_kernel(
-    mask_ref,  # [1, Tk] int32 (or None-like all-ones) in VMEM
+    qoff_ref,  # [1] int32 in SMEM: absolute kv position of query row 0
+    mask_ref,  # [B, Tk] int32 (full array in VMEM; indexed by batch program id)
     q_ref,  # [1, 1, Bq, D]
     k_ref,  # [1, 1, Tk, D]
     v_ref,  # [1, 1, Tk, D]
@@ -99,12 +105,13 @@ def _flash_fwd_kernel(
     scale: float,
     block_k: int,
     kv_len: int,
-    q_offset: int,
     use_mask: bool,
 ):
     q_block_idx = pl.program_id(2)
     bq = q_ref.shape[2]
     d = q_ref.shape[3]
+    q_offset = qoff_ref[0]
+    batch_idx = pl.program_id(0)
 
     q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
 
@@ -128,7 +135,7 @@ def _flash_fwd_kernel(
         )  # [bq, block_k]
 
         if use_mask:
-            kvm = mask_ref[0, pl.ds(kv_i * block_k, block_k)]
+            kvm = mask_ref[batch_idx, pl.ds(kv_i * block_k, block_k)]
             s = jnp.where((kvm > 0)[None, :], s, DEFAULT_MASK_VALUE)
         if causal:
             q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0) + q_block_idx * bq + q_offset
@@ -160,6 +167,7 @@ def _flash_forward(
     scale: float,
     block_q: int,
     block_k: int,
+    q_offset: Optional[Array] = None,
 ) -> Array:
     B, H, Tq, D = q.shape
     _, Hk, Tk, _ = k.shape
@@ -186,15 +194,15 @@ def _flash_forward(
 
     grid = (B, H, Tq_p // bq)
 
+    # default causal alignment: end of q timeline against end of (unpadded) kv timeline
+    qoff = jnp.asarray([Tk - Tq if q_offset is None else q_offset], jnp.int32).reshape(1)
+
     kernel = functools.partial(
         _flash_fwd_kernel,
         causal=causal,
         scale=scale,
         block_k=bk,
         kv_len=Tk_p,
-        # causal offset aligns the *end* of q timeline with end of kv timeline
-        # (prefill with KV cache prefix: q starts at Tk - Tq)
-        q_offset=Tk - Tq,
         use_mask=use_mask,
     )
 
@@ -202,7 +210,8 @@ def _flash_forward(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Tk_p), lambda b, h, i: (b, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM if _PALLAS_TPU else pl.ANY),
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((1, 1, Tk_p, D), lambda b, h, i: (b, h // q_per_kv, 0, 0)),
             pl.BlockSpec((1, 1, Tk_p, D), lambda b, h, i: (b, h // q_per_kv, 0, 0)),
@@ -217,7 +226,8 @@ def _flash_forward(
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=B * H * Tq_p * Tk_p,
         ),
-    )(kv_mask_i, q, k, v)
+        interpret=_INTERPRET,
+    )(qoff, kv_mask_i, q, k, v)
     if Tq_p != Tq:
         out = out[:, :, :Tq, :]
     return out
@@ -246,7 +256,7 @@ def _flash_bwd_rule(causal, scale, block_q, block_k, has_mask, res, g):
 
     _, vjp = jax.vjp(ref, q, k, v)
     dq, dk, dv = vjp(g)
-    return (dq, dk, dv) + ((None,) if has_mask else tuple())
+    return (dq, dk, dv, None)
 
 
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -270,6 +280,7 @@ def attention(
     kv_mask: Optional[Array] = None,
     bias: Optional[Array] = None,
     scale: Optional[float] = None,
+    q_offset: Optional[Array] = None,
     impl: str = "auto",
     block_q: int = 512,
     block_k: int = 512,
@@ -278,10 +289,13 @@ def attention(
 
     Args:
       q: ``[B, H, Tq, D]``; k/v: ``[B, Hkv, Tk, D]`` with ``H % Hkv == 0`` (GQA).
-      causal: apply causal mask (q timeline right-aligned against kv timeline,
-        so prefill-with-cache works: query i attends to kv <= Tk - Tq + i).
+      causal: apply causal mask — query i sits at kv position ``q_offset + i``
+        (default ``Tk - Tq``: q timeline right-aligned against kv timeline).
       kv_mask: optional ``[B, Tk]`` bool — True where the key position is valid.
       bias: optional additive bias (XLA path only).
+      q_offset: absolute kv position of query 0 (traced ok) — used for
+        prefill/decode against a longer KV-cache buffer. The q_offset path is
+        inference-only (not differentiable through the Pallas kernel).
       impl: 'auto' | 'pallas' | 'xla'.
     """
     D = q.shape[-1]
@@ -297,7 +311,12 @@ def attention(
         and D % 128 == 0
     )
     if use_pallas:
+        if q_offset is not None:
+            # cache-aware prefill: direct (non-VJP) kernel call
+            return _flash_forward(q, k, v, kv_mask, causal, scale_val, block_q, block_k, q_offset)
         return _flash_attention(
             q, k, v, causal, scale_val, block_q, block_k, kv_mask is not None, kv_mask
         )
-    return attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, bias=bias, scale=scale_val)
+    return attention_reference(
+        q, k, v, causal=causal, kv_mask=kv_mask, bias=bias, scale=scale_val, q_offset=q_offset
+    )

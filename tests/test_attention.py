@@ -1,0 +1,71 @@
+"""Flash-attention kernel correctness (interpret mode on CPU) vs XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import merv_tpu.ops.attention as A
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(A, "_INTERPRET", True)
+
+
+def _rand_qkv(rng, B, H, Hk, Tq, Tk, D, dtype=jnp.float32):
+    ks = jax.random.split(rng, 3)
+    q = jax.random.normal(ks[0], (B, H, Tq, D), dtype)
+    k = jax.random.normal(ks[1], (B, Hk, Tk, D), dtype)
+    v = jax.random.normal(ks[2], (B, Hk, Tk, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_reference(causal, rng):
+    q, k, v = _rand_qkv(rng, B=2, H=4, Hk=4, Tq=256, Tk=256, D=128)
+    ref = A.attention_reference(q, k, v, causal=causal)
+    out = A._flash_forward(q, k, v, None, causal, 128.0 ** -0.5, 128, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gqa_and_mask(rng):
+    q, k, v = _rand_qkv(rng, B=2, H=8, Hk=2, Tq=256, Tk=384, D=128)
+    kv_mask = jnp.asarray(np.random.RandomState(0).rand(2, 384) > 0.3)
+    ref = A.attention_reference(q, k, v, causal=True, kv_mask=kv_mask)
+    out = A._flash_forward(q, k, v, kv_mask, True, 128.0 ** -0.5, 128, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_ragged_seq_padding(rng):
+    # Tq/Tk not multiples of the block size exercise the padding path
+    q, k, v = _rand_qkv(rng, B=1, H=2, Hk=2, Tq=200, Tk=300, D=128)
+    ref = A.attention_reference(q, k, v, causal=True)
+    out = A._flash_forward(q, k, v, None, True, 128.0 ** -0.5, 128, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_cache_prefill_offset(rng):
+    # chunked prefill against a 512-buffer cache: queries live at offset 128
+    B, H, D = 1, 2, 128
+    q, k, v = _rand_qkv(rng, B=B, H=H, Hk=H, Tq=128, Tk=512, D=D)
+    offset = jnp.asarray(128, jnp.int32)
+    kv_mask = (jnp.arange(512) < 256)[None, :]
+    ref = A.attention_reference(q, k, v, causal=True, kv_mask=kv_mask, q_offset=offset)
+    out = A._flash_forward(q, k, v, kv_mask, True, D ** -0.5, 128, 128, q_offset=offset)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_backward_grads(rng):
+    q, k, v = _rand_qkv(rng, B=1, H=2, Hk=2, Tq=128, Tk=128, D=128)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(A._flash_attention(q, k, v, True, 128.0 ** -0.5, 128, 128, False) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(A.attention_reference(q, k, v, causal=True) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

@@ -1,0 +1,184 @@
+"""Decoder correctness: logit parity vs HF torch Llama/Qwen2, KV-cache consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merv_tpu.models.backbones.llm.hf_import import export_llama_state_dict, import_llama_state_dict
+from merv_tpu.models.backbones.llm.transformer import DecoderConfig, KVCache, LlamaDecoder
+
+TINY = DecoderConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=3,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    max_position_embeddings=256,
+    rope_theta=10000.0,
+    compute_dtype=jnp.float32,  # fp32 for tight parity checks
+)
+
+
+def _hf_llama(cfg: DecoderConfig, attention_bias: bool = False):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_norm_eps,
+        attention_bias=attention_bias,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def hf_and_ours():
+    torch = pytest.importorskip("torch")
+    model = _hf_llama(TINY)
+    state = model.state_dict()
+    params = import_llama_state_dict(TINY, state)
+    return model, LlamaDecoder(TINY), params, torch
+
+
+def test_logit_parity_full_sequence(hf_and_ours):
+    model, dec, params, torch = hf_and_ours
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, TINY.vocab_size, size=(2, 17))
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+    ours, _ = dec(params, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_logit_parity_with_padding_mask(hf_and_ours):
+    model, dec, params, torch = hf_and_ours
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, TINY.vocab_size, size=(2, 12))
+    mask = np.ones((2, 12), dtype=np.int64)
+    mask[0, 8:] = 0  # right padding on row 0
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)).logits.numpy()
+    ours, _ = dec(params, input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+    # compare only valid positions
+    np.testing.assert_allclose(np.asarray(ours)[0, :8], ref[0, :8], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours)[1], ref[1], rtol=2e-4, atol=2e-4)
+
+
+def test_kv_cache_prefill_then_decode_matches_full(hf_and_ours):
+    _, dec, params, _ = hf_and_ours
+    rng = np.random.RandomState(2)
+    ids = jnp.asarray(rng.randint(0, TINY.vocab_size, size=(2, 16)))
+
+    full_logits, _ = dec(params, input_ids=ids)
+
+    cache = KVCache.create(TINY, batch=2, max_len=32, dtype=jnp.float32)
+    pre_logits, cache = dec(params, input_ids=ids[:, :10], kv_cache=cache)
+    np.testing.assert_allclose(np.asarray(pre_logits), np.asarray(full_logits[:, :10]), rtol=1e-4, atol=1e-4)
+
+    # decode the remaining 6 tokens one by one
+    for t in range(10, 16):
+        step_logits, cache = dec(params, input_ids=ids[:, t : t + 1], kv_cache=cache)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]), rtol=1e-4, atol=1e-4
+        )
+    assert int(cache.length) == 16
+
+
+def test_qwen_style_bias_and_gqa():
+    torch = pytest.importorskip("torch")
+    cfg = DecoderConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=96, num_layers=2,
+        num_heads=6, num_kv_heads=2, head_dim=8, rope_theta=1000000.0,
+        rms_norm_eps=1e-6, attention_bias=True, compute_dtype=jnp.float32,
+    )
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf_cfg = Qwen2Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, rope_theta=cfg.rope_theta, rms_norm_eps=cfg.rms_norm_eps,
+        tie_word_embeddings=False, use_sliding_window=False,
+    )
+    torch.manual_seed(1)
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    params = import_llama_state_dict(cfg, model.state_dict())
+    dec = LlamaDecoder(cfg)
+
+    ids = np.random.RandomState(3).randint(0, cfg.vocab_size, size=(1, 9))
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+    ours, _ = dec(params, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_export_roundtrip(hf_and_ours):
+    model, dec, params, _ = hf_and_ours
+    state = export_llama_state_dict(TINY, params)
+    reimported = import_llama_state_dict(TINY, state)
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(params), jax.tree_util.tree_leaves_with_path(reimported)
+    ):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_remat_matches_no_remat(hf_and_ours):
+    _, dec, params, _ = hf_and_ours
+    ids = jnp.asarray(np.random.RandomState(4).randint(0, TINY.vocab_size, size=(1, 8)))
+    a, _ = dec(params, input_ids=ids, remat=False)
+    b, _ = dec(params, input_ids=ids, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_greedy_generation_matches_hf(hf_and_ours):
+    model, dec, params, torch = hf_and_ours
+    from merv_tpu.models.generation import GenerationConfig, generate
+
+    ids = np.random.RandomState(5).randint(3, TINY.vocab_size, size=(1, 7))
+    with torch.no_grad():
+        hf_out = model.generate(
+            input_ids=torch.tensor(ids), max_new_tokens=12, do_sample=False,
+            eos_token_id=-1, pad_token_id=0,
+        ).numpy()[:, 7:]
+    ours = generate(
+        dec, params, input_ids=jnp.asarray(ids),
+        config=GenerationConfig(max_new_tokens=12, eos_token_id=-1, pad_token_id=0),
+    )
+    np.testing.assert_array_equal(np.asarray(ours), hf_out)
+
+
+def test_batched_padded_generation_consistent(hf_and_ours):
+    _, dec, params, _ = hf_and_ours
+    from merv_tpu.models.generation import GenerationConfig, generate
+
+    rng = np.random.RandomState(6)
+    a = rng.randint(3, TINY.vocab_size, size=(1, 9))
+    b = rng.randint(3, TINY.vocab_size, size=(1, 5))
+    cfg = GenerationConfig(max_new_tokens=8, eos_token_id=-1, pad_token_id=0)
+
+    out_a = generate(dec, params, input_ids=jnp.asarray(a), config=cfg)
+    out_b = generate(dec, params, input_ids=jnp.asarray(b), config=cfg)
+
+    # right-padded batch of both rows
+    ids = np.zeros((2, 9), dtype=np.int64)
+    mask = np.zeros((2, 9), dtype=np.int64)
+    ids[0] = a[0]; mask[0] = 1
+    ids[1, :5] = b[0]; mask[1, :5] = 1
+    out_batch = generate(dec, params, input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask), config=cfg)
+
+    np.testing.assert_array_equal(np.asarray(out_batch[0]), np.asarray(out_a[0]))
+    np.testing.assert_array_equal(np.asarray(out_batch[1]), np.asarray(out_b[0]))
