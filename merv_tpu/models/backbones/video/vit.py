@@ -1,0 +1,345 @@
+"""Generic functional Vision Transformer covering every MERV tower family.
+
+One configurable encoder replaces four torch implementations the reference
+pulls from timm/HF (reference ``merv/models/backbones/video/dinov2_video.py``,
+``siglip.py``, ``vivit.py``, ``languagebind/video/modeling_video.py``):
+
+- **DINOv2-reg** (ViT-L/14, cls + 4 register tokens, LayerScale)
+- **SigLIP** (ViT-B/16, no cls token, tanh-GELU)
+- **CLIP / LanguageBind-Video** (ViT-L/14, pre-LN, QuickGELU, and per-layer
+  *temporal attention* over frames — the LanguageBind modification, reference
+  ``modeling_video.py:94-186``)
+- **ViViT** (3D tubelet embedding 2x16x16 over 32 frames, reference
+  ``vivit.py:42-47``)
+
+TPU-native design decisions:
+- patch/tubelet embedding is a reshape + single matmul (stride == kernel, so
+  the conv is exactly a block reshape) — lands on the MXU as one large GEMM
+  instead of a convolution;
+- layers run under ``lax.scan`` over stacked parameters (single compiled block);
+- attention uses :func:`merv_tpu.ops.attention.attention`;
+- the penultimate-layer feature tap (timm ``get_intermediate_layers n={L-2}``,
+  HF ``hidden_states[-2]`` — reference ``dinov2_video.py:40-67``,
+  ``languagebind/__init__.py:85``) is expressed as "scan the first L-1 layers",
+  so the last block's FLOPs are never executed at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from merv_tpu.nn.core import ACT2FN, Embed, LayerNorm, Linear, normal_init, trunc_normal_init, zeros_init
+from merv_tpu.ops.attention import attention
+
+Array = jax.Array
+PyTree = Any
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+
+    num_cls_tokens: int = 0
+    num_register_tokens: int = 0
+    # True -> position embedding rows cover [cls?, patches] (facebook DINOv2 /
+    # CLIP / ViViT convention). False -> patches only (SigLIP).
+    pos_embed_includes_prefix: bool = True
+
+    act: str = "gelu"
+    layer_norm_eps: float = 1e-6
+    use_layerscale: bool = False        # DINOv2 LayerScale gamma
+    pre_norm: bool = False              # CLIP pre_layrnorm after embeddings
+    patch_bias: bool = True             # CLIP conv has no bias
+
+    # ViViT: 3D tubelet (t, p, p); input becomes [B, C, T, H, W]
+    tubelet_t: int = 0                  # 0 = 2D per-frame model
+    tubelet_frames: int = 0             # frames the pos embed covers (ViViT: 32)
+
+    # LanguageBind: per-layer temporal attention over frames
+    temporal_attn: bool = False
+    temporal_frames: int = 8            # size of the learned temporal embedding
+
+    compute_dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        n = self.grid_size * self.grid_size
+        if self.tubelet_t:
+            n *= self.tubelet_frames // self.tubelet_t
+        return n
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return self.num_cls_tokens + self.num_register_tokens
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_prefix_tokens + self.num_patches
+
+    @property
+    def pos_embed_len(self) -> int:
+        return self.num_patches + (self.num_cls_tokens if self.pos_embed_includes_prefix else 0)
+
+
+@dataclass(frozen=True)
+class VisionTransformer:
+    cfg: ViTConfig
+
+    # -- init ------------------------------------------------------------------------
+
+    def init(self, key: Array) -> PyTree:
+        c = self.cfg
+        keys = jax.random.split(key, 8 + c.num_layers)
+        patch_in = (c.tubelet_t if c.tubelet_t else 1) * c.patch_size * c.patch_size * 3
+
+        init02 = trunc_normal_init(0.02)
+        lin = lambda i, o, b=True: Linear(i, o, use_bias=b, param_dtype=c.param_dtype, kernel_init=init02)  # noqa: E731
+        ln = LayerNorm(c.hidden_size, eps=c.layer_norm_eps, param_dtype=c.param_dtype)
+
+        def layer_params(k: Array) -> PyTree:
+            ks = jax.random.split(k, 8)
+            p: Dict[str, Any] = {
+                "norm1": ln.init(ks[0]),
+                "attn": {
+                    "q_proj": lin(c.hidden_size, c.hidden_size).init(ks[1]),
+                    "k_proj": lin(c.hidden_size, c.hidden_size).init(ks[2]),
+                    "v_proj": lin(c.hidden_size, c.hidden_size).init(ks[3]),
+                    "o_proj": lin(c.hidden_size, c.hidden_size).init(ks[4]),
+                },
+                "norm2": ln.init(ks[0]),
+                "mlp": {
+                    "fc1": lin(c.hidden_size, c.intermediate_size).init(ks[5]),
+                    "fc2": lin(c.intermediate_size, c.hidden_size).init(ks[6]),
+                },
+            }
+            if c.use_layerscale:
+                p["ls1"] = {"gamma": jnp.full((c.hidden_size,), 1e-5, c.param_dtype)}
+                p["ls2"] = {"gamma": jnp.full((c.hidden_size,), 1e-5, c.param_dtype)}
+            if c.temporal_attn:
+                p["temporal_embedding"] = normal_init(c.hidden_size ** -0.5)(
+                    ks[7], (c.temporal_frames, c.hidden_size), c.param_dtype
+                )
+                p["t_norm"] = ln.init(ks[0])
+                p["t_attn"] = {
+                    "q_proj": lin(c.hidden_size, c.hidden_size).init(ks[1]),
+                    "k_proj": lin(c.hidden_size, c.hidden_size).init(ks[2]),
+                    "v_proj": lin(c.hidden_size, c.hidden_size).init(ks[3]),
+                    "o_proj": lin(c.hidden_size, c.hidden_size).init(ks[4]),
+                }
+            return p
+
+        layers = jax.vmap(layer_params)(keys[8 : 8 + c.num_layers])
+        params: Dict[str, Any] = {
+            "patch_embed": {"kernel": init02(keys[0], (patch_in, c.hidden_size), c.param_dtype)},
+            "pos_embed": init02(keys[1], (c.pos_embed_len, c.hidden_size), c.param_dtype),
+            "layers": layers,
+            "final_norm": ln.init(keys[2]),
+        }
+        if c.patch_bias:
+            params["patch_embed"]["bias"] = zeros_init(keys[0], (c.hidden_size,), c.param_dtype)
+        if c.num_cls_tokens:
+            params["cls_token"] = init02(keys[3], (c.num_cls_tokens, c.hidden_size), c.param_dtype)
+        if c.num_register_tokens:
+            params["register_tokens"] = init02(keys[4], (c.num_register_tokens, c.hidden_size), c.param_dtype)
+        if c.pre_norm:
+            params["pre_norm"] = ln.init(keys[5])
+        return params
+
+    # -- embedding -------------------------------------------------------------------
+
+    def _patchify_2d(self, params: PyTree, pixels: Array) -> Array:
+        """[B, C, H, W] -> [B, N, D] via reshape + matmul (== stride-p conv)."""
+        c = self.cfg
+        B, C, H, W = pixels.shape
+        g, p = H // c.patch_size, c.patch_size
+        x = pixels.reshape(B, C, g, p, g, p)
+        # -> [B, gh, gw, p, p, C]: match conv kernel layout (out = patch . W[C,p,p])
+        x = x.transpose(0, 2, 4, 3, 5, 1).reshape(B, g * g, p * p * C)
+        kernel = params["patch_embed"]["kernel"].astype(x.dtype)
+        out = x @ kernel
+        if c.patch_bias:
+            out = out + params["patch_embed"]["bias"].astype(x.dtype)
+        return out
+
+    def _patchify_3d(self, params: PyTree, pixels: Array) -> Array:
+        """[B, C, T, H, W] -> [B, N, D] tubelet embedding."""
+        c = self.cfg
+        B, C, T, H, W = pixels.shape
+        t, p = c.tubelet_t, c.patch_size
+        g = H // p
+        x = pixels.reshape(B, C, T // t, t, g, p, g, p)
+        # -> [B, T/t, gh, gw, t, p, p, C]
+        x = x.transpose(0, 2, 4, 6, 3, 5, 7, 1).reshape(B, (T // t) * g * g, t * p * p * C)
+        kernel = params["patch_embed"]["kernel"].astype(x.dtype)
+        out = x @ kernel
+        if c.patch_bias:
+            out = out + params["patch_embed"]["bias"].astype(x.dtype)
+        return out
+
+    def embed(self, params: PyTree, pixels: Array) -> Array:
+        """pixels: [B, C, H, W] (2D) or [B, C, T, H, W] (tubelet) -> [B, S, D]."""
+        c = self.cfg
+        x = self._patchify_3d(params, pixels) if c.tubelet_t else self._patchify_2d(params, pixels)
+        B = x.shape[0]
+        pos = params["pos_embed"].astype(x.dtype)
+
+        prefix = []
+        if c.num_cls_tokens:
+            cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, c.num_cls_tokens, c.hidden_size))
+            if c.pos_embed_includes_prefix:
+                cls = cls + pos[None, : c.num_cls_tokens]
+                x = x + pos[None, c.num_cls_tokens :]
+            else:
+                x = x + pos[None]
+            prefix.append(cls)
+        else:
+            x = x + pos[None]
+        if c.num_register_tokens:
+            regs = jnp.broadcast_to(
+                params["register_tokens"].astype(x.dtype), (B, c.num_register_tokens, c.hidden_size)
+            )
+            prefix.append(regs)
+        if prefix:
+            x = jnp.concatenate(prefix + [x], axis=1)
+        return x
+
+    # -- transformer -----------------------------------------------------------------
+
+    def _mha(self, lp: PyTree, x: Array) -> Array:
+        c = self.cfg
+        B, S, D = x.shape
+        lin = Linear(D, D, param_dtype=c.param_dtype)
+        q = lin(lp["q_proj"], x).reshape(B, S, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+        k = lin(lp["k_proj"], x).reshape(B, S, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+        v = lin(lp["v_proj"], x).reshape(B, S, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+        out = attention(q, k, v, causal=False)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return lin(lp["o_proj"], out)
+
+    def _layer(self, lp: PyTree, x: Array, frames: int) -> Array:
+        c = self.cfg
+        ln = LayerNorm(c.hidden_size, eps=c.layer_norm_eps, param_dtype=c.param_dtype)
+        act = ACT2FN[c.act]
+
+        if c.temporal_attn and frames > 1:
+            # x: [(B*T), N, D] — temporal embedding + attention over the frame axis
+            BT, N, D = x.shape
+            B = BT // frames
+            xt = x.reshape(B, frames, N, D)
+            xt = xt + lp["temporal_embedding"][None, :frames, None, :].astype(x.dtype)
+            xt = xt.transpose(0, 2, 1, 3).reshape(B * N, frames, D)  # [(B*N), T, D]
+            yt = self._mha(lp["t_attn"], ln(lp["t_norm"], xt))
+            xt = xt + yt
+            x = xt.reshape(B, N, frames, D).transpose(0, 2, 1, 3).reshape(BT, N, D)
+
+        x = x + self._ls(lp, "ls1", self._mha(lp["attn"], ln(lp["norm1"], x)))
+        h = ln(lp["norm2"], x)
+        h = Linear(c.hidden_size, c.intermediate_size, param_dtype=c.param_dtype)(lp["mlp"]["fc1"], h)
+        h = act(h)
+        h = Linear(c.intermediate_size, c.hidden_size, param_dtype=c.param_dtype)(lp["mlp"]["fc2"], h)
+        return x + self._ls(lp, "ls2", h)
+
+    def _ls(self, lp: PyTree, name: str, x: Array) -> Array:
+        if self.cfg.use_layerscale:
+            return x * lp[name]["gamma"].astype(x.dtype)
+        return x
+
+    def __call__(
+        self,
+        params: PyTree,
+        pixels: Array,
+        *,
+        skip_last_layers: int = 0,
+        apply_final_norm: bool = False,
+        frames: int = 1,
+    ) -> Array:
+        """Encode pixels to token features.
+
+        skip_last_layers=1 + apply_final_norm=False reproduces the reference's
+        penultimate-layer tap; 0 + True is the HF last_hidden_state contract.
+        """
+        c = self.cfg
+        x = self.embed(params, pixels.astype(c.compute_dtype))
+        if c.pre_norm:
+            x = LayerNorm(c.hidden_size, eps=c.layer_norm_eps, param_dtype=c.param_dtype)(params["pre_norm"], x)
+
+        n_run = c.num_layers - skip_last_layers
+        layers = jax.tree_util.tree_map(lambda p: p[:n_run], params["layers"])
+
+        def body(h, lp):
+            return self._layer(lp, h, frames), None
+
+        x, _ = jax.lax.scan(body, x, layers)
+        if apply_final_norm:
+            x = LayerNorm(c.hidden_size, eps=c.layer_norm_eps, param_dtype=c.param_dtype)(params["final_norm"], x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Tower configs (weights from timm/HF checkpoints, see vision_import.py)
+# ---------------------------------------------------------------------------
+
+# timm vit_large_patch14_reg4_dinov2.lvd142m @ 224px (reference dinov2_video.py:21)
+DINOV2_LARGE_REG4 = ViTConfig(
+    image_size=224, patch_size=14, hidden_size=1024, intermediate_size=4096,
+    num_layers=24, num_heads=16, num_cls_tokens=1, num_register_tokens=4,
+    pos_embed_includes_prefix=True, act="gelu", layer_norm_eps=1e-6,
+    use_layerscale=True,
+)
+
+# timm vit_base_patch16_siglip_224 (reference siglip.py:20)
+SIGLIP_BASE_224 = ViTConfig(
+    image_size=224, patch_size=16, hidden_size=768, intermediate_size=3072,
+    num_layers=12, num_heads=12, num_cls_tokens=0,
+    pos_embed_includes_prefix=False, act="gelu_tanh", layer_norm_eps=1e-6,
+)
+
+SIGLIP_SO400M_224 = ViTConfig(
+    image_size=224, patch_size=14, hidden_size=1152, intermediate_size=4304,
+    num_layers=27, num_heads=16, num_cls_tokens=0,
+    pos_embed_includes_prefix=False, act="gelu_tanh", layer_norm_eps=1e-6,
+)
+
+# LanguageBind/LanguageBind_Video_merge vision tower: CLIP ViT-L/14 + per-layer
+# temporal attention over 8 frames (reference languagebind/video/modeling_video.py)
+LANGUAGEBIND_VIDEO_LARGE = ViTConfig(
+    image_size=224, patch_size=14, hidden_size=1024, intermediate_size=4096,
+    num_layers=24, num_heads=16, num_cls_tokens=1,
+    pos_embed_includes_prefix=True, act="quick_gelu", layer_norm_eps=1e-5,
+    pre_norm=True, patch_bias=False, temporal_attn=True, temporal_frames=8,
+)
+
+# google/vivit-b-16x2-kinetics400 (reference vivit.py:16)
+VIVIT_BASE_16x2 = ViTConfig(
+    image_size=224, patch_size=16, hidden_size=768, intermediate_size=3072,
+    num_layers=12, num_heads=12, num_cls_tokens=1,
+    pos_embed_includes_prefix=True, act="gelu_tanh", layer_norm_eps=1e-6,
+    tubelet_t=2, tubelet_frames=32,
+)
+
+
+def tiny_vit_config(**overrides: Any) -> ViTConfig:
+    base = dict(
+        image_size=32, patch_size=8, hidden_size=64, intermediate_size=128,
+        num_layers=3, num_heads=4, compute_dtype=jnp.float32,
+    )
+    base.update(overrides)
+    return ViTConfig(**base)

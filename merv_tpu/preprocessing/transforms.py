@@ -1,0 +1,104 @@
+"""Fused on-device video preprocessing (resize / crop / normalize).
+
+The reference runs per-frame torchvision PIL transforms inside dataloader
+workers (reference ``dinov2_video.py:93-124``, ``vivit.py:53-92``,
+``languagebind/video/processing_video.py:63-80``). TPU-native redesign: decode
+produces raw uint8 ``[T, H, W, C]`` on the host, and the entire
+resize->crop->scale->normalize pipeline runs on-device as one jitted XLA
+program per backbone (fused elementwise + gather), per the BASELINE north star.
+
+Resize strategies mirror the reference contract:
+- ``resize-naive``: direct resize to (S, S)
+- ``resize-crop``: shortest-edge resize + center crop
+- ``letterbox``: pad to square with the normalization-mean fill, then resize
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
+HIERA_MEAN = (0.45, 0.45, 0.45)
+HIERA_STD = (0.225, 0.225, 0.225)
+
+
+@dataclass(frozen=True)
+class VideoTransform:
+    """Per-backbone video preprocessing. ``__call__``: uint8 [T,H,W,C] -> [T,C,S,S] float."""
+
+    target_size: int = 224
+    resize_strategy: str = "resize-naive"
+    shortest_edge: Optional[int] = None  # for resize-crop (e.g. ViViT 256 -> crop 224)
+    interpolation: str = "bicubic"  # jax.image.resize method
+    mean: Tuple[float, float, float] = IMAGENET_MEAN
+    std: Tuple[float, float, float] = IMAGENET_STD
+    channels_first_time: bool = False  # output [C,T,S,S] (LanguageBind) instead of [T,C,S,S]
+    dtype: Any = jnp.float32
+
+    def __call__(self, video: Array) -> Array:
+        """video: uint8/float [T, H, W, C] -> normalized [T, C, S, S] (or [C, T, S, S])."""
+        x = jnp.asarray(video).astype(jnp.float32) / 255.0
+        T, H, W, C = x.shape
+        S = self.target_size
+
+        if self.resize_strategy == "resize-naive":
+            x = jax.image.resize(x, (T, S, S, C), method=self.interpolation)
+        elif self.resize_strategy == "resize-crop":
+            se = self.shortest_edge or S
+            if H < W:
+                nh, nw = se, max(1, int(round(W * se / H)))
+            else:
+                nh, nw = max(1, int(round(H * se / W))), se
+            x = jax.image.resize(x, (T, nh, nw, C), method=self.interpolation)
+            top, left = (nh - S) // 2, (nw - S) // 2
+            x = jax.lax.dynamic_slice(x, (0, top, left, 0), (T, S, S, C))
+        elif self.resize_strategy == "letterbox":
+            m = max(H, W)
+            pad_h, pad_w = (m - H) // 2, (m - W) // 2
+            fill = jnp.asarray(self.mean, jnp.float32)
+            x = jnp.pad(
+                x,
+                ((0, 0), (pad_h, m - H - pad_h), (pad_w, m - W - pad_w), (0, 0)),
+                constant_values=0.0,
+            )
+            # emulate constant fill with the mean color
+            mask = jnp.zeros((m, m, 1), jnp.float32).at[pad_h : pad_h + H, pad_w : pad_w + W].set(1.0)
+            x = x * mask + (1.0 - mask) * fill
+            x = jax.image.resize(x, (T, S, S, C), method=self.interpolation)
+        else:
+            raise ValueError(f"Unknown resize strategy {self.resize_strategy!r}")
+
+        mean = jnp.asarray(self.mean, jnp.float32)
+        std = jnp.asarray(self.std, jnp.float32)
+        x = (x - mean) / std
+        x = x.transpose(0, 3, 1, 2)  # [T, C, S, S]
+        if self.channels_first_time:
+            x = x.transpose(1, 0, 2, 3)  # [C, T, S, S]
+        return x.astype(self.dtype)
+
+
+def subsample_frames(video: Array, num_frames: int) -> Array:
+    """Stride-subsample a [T, ...] video to num_frames (reference merv.py:804-806)."""
+    T = video.shape[0]
+    if T == num_frames:
+        return video
+    stride = max(1, T // num_frames)
+    return video[::stride][:num_frames]
+
+
+def uniform_frame_indices(total: int, num_frames: int) -> Any:
+    """np.linspace frame sampling used by load_video (reference datasets.py:125-140)."""
+    import numpy as np
+
+    return np.linspace(0, max(total - 1, 0), num_frames).astype(int)
