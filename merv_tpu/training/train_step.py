@@ -40,15 +40,27 @@ class TrainState:
     step: Array
 
 
-def make_loss_fn(model: Any, remat: bool = True) -> Callable[[PyTree, Dict[str, Any]], Array]:
-    """Multimodal next-token loss over one microbatch dict."""
+def make_loss_fn(
+    model: Any,
+    remat: bool = True,
+    video_transforms: Optional[Any] = None,
+) -> Callable[[PyTree, Dict[str, Any]], Array]:
+    """Multimodal next-token loss over one microbatch dict.
+
+    When ``video_transforms`` is given, ``batch["video_values"]`` holds raw
+    uint8 host-geometry frames [B, F, S, S, C] and normalize/transpose fuse
+    into this jitted program (``VideoTransform.device_finish``).
+    """
 
     def loss_fn(params: PyTree, batch: Dict[str, Any]) -> Array:
+        videos = batch["video_values"]
+        if video_transforms is not None:
+            videos = [tf.device_finish(v) for tf, v in zip(video_transforms, videos)]
         out = model.forward(
             params,
             batch["input_ids"],
             batch["attention_mask"],
-            batch["video_values"],
+            videos,
             labels=batch["labels"],
             is_image=batch.get("is_image"),
             is_multimodal=batch.get("is_multimodal"),
