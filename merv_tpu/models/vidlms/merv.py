@@ -395,6 +395,10 @@ class MERV(VidLM):
         do_sample: bool = False,
         temperature: float = 1.0,
         top_p: float = 1.0,
+        min_length: int = 1,
+        clip_start_sec: float = 0.0,
+        clip_end_sec: Optional[float] = None,
+        end_frame: Optional[int] = None,
         rng: Optional[Array] = None,
     ) -> str:
         """Single-example convenience API (reference merv.py:779-830).
@@ -422,7 +426,10 @@ class MERV(VidLM):
             if isinstance(video, (str,)) or hasattr(video, "__fspath__"):
                 from merv_tpu.preprocessing import load_video
 
-                video = load_video(str(video), max(num_frames))
+                video = load_video(
+                    str(video), max(num_frames),
+                    clip_start_sec=clip_start_sec, clip_end_sec=clip_end_sec, end_frame=end_frame,
+                )
             video = np.asarray(video)
             from merv_tpu.preprocessing.transforms import subsample_frames
 

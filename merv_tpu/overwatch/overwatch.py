@@ -114,7 +114,12 @@ class DistributedOverwatch:
         return cls.rank_zero_only(fn)
 
     @classmethod
-    def rank_zero_only(cls, fn: Callable[..., T]) -> Callable[..., Optional[T]]:
+    def rank_zero_only(cls, fn: Optional[Callable[..., T]] = None) -> Callable[..., Optional[T]]:
+        """Usable both as ``@rank_zero_only`` and ``@rank_zero_only()``
+        (the reference uses the call form, ``overwatch.py:65-75``)."""
+        if fn is None:
+            return cls.rank_zero_only
+
         @functools.wraps(fn)
         def wrapper(*args: Any, **kwargs: Any) -> Optional[T]:
             if cls.is_rank_zero():
@@ -152,7 +157,9 @@ class PureOverwatch:
         return True
 
     @staticmethod
-    def rank_zero_only(fn: Callable[..., T]) -> Callable[..., T]:
+    def rank_zero_only(fn: Optional[Callable[..., T]] = None) -> Callable[..., T]:
+        if fn is None:
+            return PureOverwatch.rank_zero_only
         return fn
 
     local_zero_only = rank_zero_only

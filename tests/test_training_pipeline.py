@@ -1,0 +1,226 @@
+"""End-to-end training pipeline: datasets -> collator -> sampler -> sharded step.
+
+The TPU-native analogue of the reference's single-GPU debug path
+(reference ``scripts/pretrain_video.py:21``), on the virtual 8-device CPU mesh.
+"""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merv_tpu.models.backbones.llm.base_llm import tiny_llm_backbone
+from merv_tpu.models.backbones.video import DinoV2VideoBackbone, SiglipVideoBackbone
+from merv_tpu.models.backbones.video.vit import tiny_vit_config
+from merv_tpu.models.vidlms import IGNORE_INDEX, MERV
+from merv_tpu.preprocessing.datasets import AlignVideoDataset, FinetuneVideoDataset
+from merv_tpu.preprocessing.materialize import host_video_resolutions
+from merv_tpu.util.batching_utils import SplitModalitySampler
+from merv_tpu.util.data_utils import PaddedCollatorForLanguageModeling
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True)
+def _restore_vit_config():
+    saved = {}
+    for cls in (DinoV2VideoBackbone, SiglipVideoBackbone):
+        saved[cls] = cls.__dict__.get("vit_config")
+    yield
+    for cls, prop in saved.items():
+        if prop is None:
+            if "vit_config" in cls.__dict__:
+                delattr(cls, "vit_config")
+        else:
+            setattr(cls, "vit_config", prop)
+
+
+def _tiny(backbone, **cfg_overrides):
+    tiny = tiny_vit_config(**cfg_overrides)
+    type(backbone).vit_config = property(lambda self, _t=tiny: dataclasses.replace(_t))
+    return backbone
+
+
+def _towers(siglip_frames=4):
+    dino = DinoV2VideoBackbone("dinov2-video-all-tokens", "resize-naive", default_image_size=32, num_frames=4)
+    _tiny(dino, num_cls_tokens=1, num_register_tokens=4, use_layerscale=True)
+    sig = SiglipVideoBackbone("siglip-vit-b16-224px-all-no-cls", "resize-naive", default_image_size=32, num_frames=siglip_frames)
+    _tiny(sig, num_cls_tokens=0, pos_embed_includes_prefix=False)
+    return [dino, sig]
+
+
+def _write_fixture_dataset(tmp_path: Path, n_video=4, n_image=2, n_text=2):
+    """Tiny dataset: GIF videos + PNG images + text-only conversations."""
+    from PIL import Image
+
+    media = tmp_path / "media"
+    media.mkdir(exist_ok=True)
+    examples = []
+    rng = np.random.RandomState(0)
+    for i in range(n_video):
+        frames = [Image.fromarray(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)) for _ in range(6)]
+        gif = media / f"vid{i}.gif"
+        frames[0].save(gif, save_all=True, append_images=frames[1:])
+        examples.append({
+            "video": f"vid{i}.gif",
+            "conversations": [
+                {"from": "human", "value": "<video>\nWhat is happening?"},
+                {"from": "gpt", "value": f"Random noise clip number {i}."},
+            ],
+        })
+    for i in range(n_image):
+        png = media / f"img{i}.png"
+        Image.fromarray(rng.randint(0, 255, (40, 56, 3), dtype=np.uint8)).save(png)
+        examples.append({
+            "image": f"img{i}.png",
+            "conversations": [
+                {"from": "human", "value": "<image>\nDescribe."},
+                {"from": "gpt", "value": f"A noisy image {i}."},
+            ],
+        })
+    for i in range(n_text):
+        examples.append({
+            "conversations": [
+                {"from": "human", "value": f"Say the number {i}."},
+                {"from": "gpt", "value": str(i)},
+            ],
+        })
+    ann = tmp_path / "annotations.json"
+    ann.write_text(json.dumps(examples))
+    return ann, media, examples
+
+
+def _model():
+    towers = _towers()
+    llm = tiny_llm_backbone()
+    return MERV(
+        "tiny-merv", towers, llm,
+        arch_specifier="no-align+3davg+linear", feature_fusion="cross_attention_avg_lq",
+        projector_token_length=4, visual_feature_length=16, text_embedding_dim=32,
+    )
+
+
+def test_align_dataset_and_collator(tmp_path):
+    # heterogeneous per-encoder frame counts at the DATA level (4 vs 2)
+    towers = _towers(siglip_frames=2)
+    llm = tiny_llm_backbone()
+    ann, media, _ = _write_fixture_dataset(tmp_path)
+    transforms = [vb.get_video_transform() for vb in towers]
+    num_frames = [vb.num_frames for vb in towers]
+    ds = AlignVideoDataset(ann, media, media, transforms, llm.tokenizer, num_frames=num_frames)
+    assert len(ds) == 8
+    item = ds[0]
+    assert item["video_values"][0].shape == (4, 32, 32, 3) and item["video_values"][0].dtype == np.uint8
+    assert item["video_values"][1].shape == (2, 32, 32, 3)
+    assert item["labels"][0] == IGNORE_INDEX
+
+    text_item = ds[7]
+    assert text_item["video_values"][0] is None
+
+    collator = PaddedCollatorForLanguageModeling(
+        64, llm.pad_token_id, host_video_resolutions(transforms, num_frames)
+    )
+    batch = collator([ds[0], ds[7]])
+    assert batch["input_ids"].shape == (2, 64)
+    assert batch["video_values"][0].shape == (2, 4, 32, 32, 3)
+    assert list(batch["is_multimodal"]) == [True, False]
+    assert list(batch["multimodal_indices"]) == [0]
+    # unimodal row got the dummy zero video
+    assert batch["video_values"][0][1].sum() == 0
+
+
+def test_finetune_dataset_masks_human_turns(tmp_path):
+    model = _model()
+    ann, media, examples = _write_fixture_dataset(tmp_path)
+    transforms = [vb.get_video_transform() for vb in model.video_backbones]
+    ds = FinetuneVideoDataset(
+        ann, media, media, transforms, model.llm_backbone.tokenizer,
+        prompt_builder_fn=model.llm_backbone.prompt_builder_fn,
+        num_frames=[vb.num_frames for vb in model.video_backbones],
+    )
+    item = ds[0]
+    ids, labels = item["input_ids"], item["labels"]
+    assert len(ids) == len(labels)
+    # first (human) turn fully IGNORE-masked; some gpt tokens supervised
+    assert labels[0] == IGNORE_INDEX
+    assert (labels != IGNORE_INDEX).sum() > 0
+    lengths = ds.get_modality_lengths()
+    assert lengths[0][0] is True and lengths[-1][0] is False
+
+
+def test_split_modality_sampler_single_modality_batches(tmp_path):
+    model = _model()
+    ann, media, _ = _write_fixture_dataset(tmp_path, n_video=6, n_image=2, n_text=8)
+    transforms = [vb.get_video_transform() for vb in model.video_backbones]
+    ds = FinetuneVideoDataset(
+        ann, media, media, transforms, model.llm_backbone.tokenizer,
+        prompt_builder_fn=model.llm_backbone.prompt_builder_fn,
+        num_frames=[vb.num_frames for vb in model.video_backbones],
+    )
+    lengths = ds.get_modality_lengths()
+    sampler = SplitModalitySampler(ds, lengths, global_batch_size=4, num_replicas=1, rank=0, seed=0)
+    indices = list(iter(sampler))
+    assert sorted(set(indices)) == list(range(len(ds)))
+    # every contiguous global batch is single-modality
+    for i in range(0, len(indices), 4):
+        mods = {lengths[j][0] for j in indices[i : i + 4]}
+        assert len(mods) == 1
+
+
+def test_end_to_end_training_steps(tmp_path, mesh8):
+    """Two full sharded optimizer steps over the real dataloader path."""
+    import torch.utils.data as tud
+
+    from merv_tpu.training import Metrics, get_train_strategy
+
+    model = _model()
+    model.freeze_backbones("align")
+    ann, media, _ = _write_fixture_dataset(tmp_path)
+    transforms = [vb.get_video_transform() for vb in model.video_backbones]
+    num_frames = [vb.num_frames for vb in model.video_backbones]
+    ds = AlignVideoDataset(ann, media, media, transforms, model.llm_backbone.tokenizer, num_frames=num_frames)
+    collator = PaddedCollatorForLanguageModeling(
+        32, model.llm_backbone.pad_token_id, host_video_resolutions(transforms, num_frames)
+    )
+
+    strategy = get_train_strategy(
+        "fsdp-full-shard", model, stage="align", epochs=1, max_steps=2,
+        global_batch_size=8, per_device_batch_size=1,  # accum = 8/1/8 = 1
+        learning_rate=1e-3, weight_decay=0.0, max_grad_norm=1.0,
+        mesh=mesh8,
+    )
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    strategy.run_setup(run_dir, n_train_examples=len(ds), video_transforms=transforms, seed=0)
+
+    metrics = Metrics(("jsonl",), "test-run", run_dir, {}, "align", grad_accumulation_steps=1, total_steps=2)
+    strategy.run_training(ds, collator, metrics, stage="align", seed=0, run_dir=run_dir)
+    metrics.finalize()
+
+    # jsonl tracker wrote metrics; checkpoint dir exists
+    assert (run_dir / "test-run.jsonl").exists()
+    ckpts = list((run_dir / "checkpoints").glob("step-*"))
+    assert len(ckpts) >= 1
+    logged = [json.loads(line) for line in (run_dir / "test-run.jsonl").read_text().splitlines()]
+    assert all(np.isfinite(m["Align/Loss"]) for m in logged)
+
+
+def test_checkpoint_save_load_roundtrip(tmp_path, mesh8):
+    from merv_tpu.training.checkpointing import latest_checkpoint, load_checkpoint, save_checkpoint
+
+    model = _model()
+    params = model.init(KEY)
+    save_checkpoint(tmp_path, 7, 0, 1.25, params, ["projectors", "feature_fusion"])
+    latest = latest_checkpoint(tmp_path)
+    assert latest is not None
+    restored = load_checkpoint(latest)
+    assert restored["step"] == 7 and restored["epoch"] == 0
+    assert set(restored["model"].keys()) == {"projectors", "feature_fusion"}
+    orig = jax.tree_util.tree_leaves(params["projectors"])
+    back = jax.tree_util.tree_leaves(restored["model"]["projectors"])
+    for a, b in zip(orig, back):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
