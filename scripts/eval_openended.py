@@ -1,0 +1,155 @@
+"""Open-ended QA evaluation (parity: reference ``scripts/eval_openended.py``).
+
+Same chunked jsonl protocol as eval_mcq plus:
+- resume from partial output, including re-chunking across different
+  ``num_chunks`` (reference ``:102-150``);
+- FLOPs/params stat dump once per model (``:96-100``);
+- per-video try/except so one corrupt file never kills a shard (``:169-188``).
+Scoring happens downstream in ``eval_gpt_batch.py`` (LLM judge).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Union
+
+import merv_tpu.conf.registry as draccus
+from merv_tpu.models.load_vid import load_vid
+from merv_tpu.overwatch import initialize_overwatch
+from merv_tpu.util.flops_utils import get_statistics
+
+from scripts.eval_mcq import _resolve_video, get_chunk
+
+overwatch = initialize_overwatch(__name__)
+
+
+@dataclass
+class EvalConfig:
+    # fmt: off
+    model_path: Union[str, Path] = "merv-full"
+    hf_token: Union[str, Path] = Path(".hf_token")
+
+    do_sample: bool = False
+    temperature: float = 1.0
+    max_new_tokens: int = 512
+    min_length: int = 1
+    eval_dataset: str = "MSVD"
+    num_chunks: int = 1
+    chunk_idx: int = 0
+    filename_question: str = "test_q"
+    filename_answer: str = "test_a"
+    eval_data_root: Path = Path("eval_data")
+    eval_result_root: Path = Path("eval_result")
+    skip_flops: bool = False
+    # fmt: on
+
+
+@draccus.wrap()
+def evaluate(cfg: EvalConfig) -> None:
+    result_dir = Path(cfg.eval_result_root) / str(cfg.model_path)
+    result_dir.mkdir(parents=True, exist_ok=True)
+
+    benchmark = cfg.eval_dataset.replace("_token", "")
+    benchmark_dir = Path(cfg.eval_data_root) / benchmark
+    questions = json.load(open(benchmark_dir / f"{cfg.filename_question}.json"))
+    overwatch.info(f"Number of Questions in {benchmark}: {len(questions)}")
+    all_questions_id = {item["question_id"] for item in questions}
+    questions = get_chunk(questions, cfg.num_chunks, cfg.chunk_idx)
+
+    answers = json.load(open(benchmark_dir / f"{cfg.filename_answer}.json"))
+    answers_dict = {item["question_id"]: item for item in answers}
+
+    local_run = Path("runs") / str(cfg.model_path)
+    src = str(local_run) if local_run.exists() else str(cfg.model_path)
+    vidlm, params, model_cfg = load_vid(src, get_model_cfg=True)
+
+    # FLOPs/params once per model (reference :96-100)
+    flops_path = result_dir / "flops.json"
+    if not flops_path.exists() and not cfg.skip_flops:
+        overwatch.info("Getting model statistics: FLOPs + Params")
+        gflops, n_params = get_statistics(vidlm, num_frames=model_cfg.num_frames)
+        overwatch.info(f"Model GFLOPs: {gflops}, Params: {n_params}")
+        json.dump({"gflops": gflops, "params": n_params}, open(flops_path, "w"))
+
+    tag = f"{cfg.eval_dataset}_pred_{cfg.num_chunks}"
+    temp_output_path = result_dir / f"{tag}_{cfg.chunk_idx}.jsonl"
+    done_output_path = result_dir / f"{tag}_{cfg.chunk_idx}_done.jsonl"
+    merged_path = result_dir / f"{cfg.eval_dataset}_pred_merge.jsonl"
+
+    # --- resume logic (reference :102-150) ---
+    done_lines = []
+    if done_output_path.exists():
+        done_lines = open(done_output_path).readlines()
+        done_ids = {json.loads(x)["question_id"] for x in done_lines}
+        questions = [q for q in questions if q["question_id"] not in done_ids]
+    elif temp_output_path.exists():
+        done_lines = open(temp_output_path).readlines()
+        done_ids = {json.loads(x)["question_id"] for x in done_lines}
+        questions = [q for q in questions if q["question_id"] not in done_ids]
+    else:
+        previous = set(glob.glob(str(result_dir / f"{cfg.eval_dataset}_pred_*.jsonl"))) - set(
+            glob.glob(str(result_dir / f"{tag}_*.jsonl"))
+        )
+        raw = [line for p in previous for line in open(p).readlines()]
+        try:
+            done_dict = {json.loads(x)["question_id"]: x for x in raw}
+        except Exception:
+            done_dict = {}
+        done_lines = [done_dict[q["question_id"]] for q in questions if q["question_id"] in done_dict]
+        questions = [q for q in questions if q["question_id"] not in done_dict]
+
+    with open(temp_output_path, "w") as f:
+        for line in done_lines:  # re-emit carried-over results
+            f.write(line if line.endswith("\n") else line + "\n")
+        for i, question in enumerate(questions):
+            try:
+                prompt_builder = vidlm.llm_backbone.prompt_builder_fn(model_family="merv")
+                prompt_builder.add_turn(role="human", message=question["question"])
+                prompt_text = prompt_builder.get_prompt()
+
+                video_name = _resolve_video(benchmark_dir, question["video_name"])
+                generated_text = vidlm.generate(
+                    params,
+                    video_name,
+                    prompt_text,
+                    do_sample=cfg.do_sample,
+                    temperature=cfg.temperature,
+                    max_new_tokens=cfg.max_new_tokens,
+                    min_length=cfg.min_length,
+                    num_frames=model_cfg.num_frames,
+                    clip_start_sec=question["time"][0] if "time" in question else 0.0,
+                    clip_end_sec=question["time"][1] if "time" in question else None,
+                    end_frame=question.get("end_frame"),
+                )
+                out = {**question, **answers_dict[question["question_id"]]}
+                out["pred"] = generated_text
+                f.write(json.dumps(out) + "\n")
+            except Exception as e:  # per-video fault tolerance (reference :169-188)
+                overwatch.error(f"Failed on {question.get('question_id')}: {type(e).__name__}: {e}")
+            if i % 100 == 99:
+                f.flush()
+    os.rename(temp_output_path, done_output_path)
+
+    # last finisher merges (reference :198-215)
+    all_jsonls = glob.glob(str(result_dir / f"{tag}_*_done.jsonl"))
+    all_done_items = {
+        item["question_id"]: item
+        for jsonl in all_jsonls
+        for line in open(jsonl).readlines()
+        if line.strip() and (item := json.loads(line))
+    }
+    if len(all_questions_id - set(all_done_items.keys())) == 0:
+        with open(merged_path, "w") as f:
+            for item in all_done_items.values():
+                f.write(json.dumps(item) + "\n")
+        for jsonl in all_jsonls:
+            os.remove(jsonl)
+        overwatch.info(f"Merged predictions -> {merged_path}; score with scripts/eval_gpt_batch.py")
+
+
+if __name__ == "__main__":
+    evaluate()

@@ -1,0 +1,167 @@
+"""End-to-end eval pipeline: load_vid -> eval_mcq/eval_openended on dummy fixtures.
+
+Mirrors the reference's documented sanity-check path (reference
+``EVALUATION.md:8-39`` with ``eval_data/dummy_mcq``) on tiny towers.
+"""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+import merv_tpu.models.load_vid as load_vid_mod
+from merv_tpu.models.backbones.llm.base_llm import tiny_llm_backbone
+from merv_tpu.models.backbones.video import DinoV2VideoBackbone, SiglipVideoBackbone
+from merv_tpu.models.backbones.video.vit import tiny_vit_config
+from merv_tpu.models.vidlms import MERV
+from merv_tpu.training.checkpointing import save_checkpoint
+from scripts.eval_gpt_batch import build_payloads, parse_judge_responses, shard_payloads
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(autouse=True)
+def _tiny_towers_and_llm(monkeypatch):
+    tiny_dino = tiny_vit_config(num_cls_tokens=1, num_register_tokens=4, use_layerscale=True)
+    tiny_sig = tiny_vit_config(num_cls_tokens=0, pos_embed_includes_prefix=False)
+
+    def scaled(tiny):
+        # keep the 4x4 patch grid at whatever image size the registry configures
+        def prop(self):
+            return dataclasses.replace(
+                tiny, image_size=self.default_image_size, patch_size=self.default_image_size // 4
+            )
+
+        return property(prop)
+
+    monkeypatch.setattr(DinoV2VideoBackbone, "vit_config", scaled(tiny_dino))
+    monkeypatch.setattr(SiglipVideoBackbone, "vit_config", scaled(tiny_sig))
+
+    def fake_llm(llm_backbone_id, llm_max_length=2048, hf_token=None, inference_mode=False):
+        llm = tiny_llm_backbone()
+        return llm, llm.tokenizer
+
+    monkeypatch.setattr(load_vid_mod, "get_llm_backbone_and_tokenizer", fake_llm)
+    yield
+
+
+def _make_run_dir(tmp_path: Path) -> Path:
+    run_dir = tmp_path / "runs" / "tiny-eval-run"
+    run_dir.mkdir(parents=True)
+    model_cfg = {
+        "model_id": "tiny-eval",
+        "arch_specifier": "no-align+3davg+linear",
+        "feature_fusion": "cross_attention_avg_lq",
+        "video_backbone_ids": ["dinov2-video-all-tokens", "siglip-vit-b16-224px-all-no-cls"],
+        "llm_backbone_id": "llama2-7b-pure",
+        "image_resize_strategy": "resize-naive",
+        "llm_max_length": 512,
+        "num_frames": [4, 4],
+        "projector_token_length": 4,
+        "visual_feature_length": 16,
+    }
+    (run_dir / "config.json").write_text(json.dumps({"model": model_cfg}))
+
+    # build the same tiny model and save its trainables as the checkpoint
+    towers = [
+        DinoV2VideoBackbone("dinov2-video-all-tokens", "resize-naive", default_image_size=32, num_frames=4),
+        SiglipVideoBackbone("siglip-vit-b16-224px-all-no-cls", "resize-naive", default_image_size=32, num_frames=4),
+    ]
+    model = MERV(
+        "tiny-eval", towers, tiny_llm_backbone(),
+        arch_specifier="no-align+3davg+linear", feature_fusion="cross_attention_avg_lq",
+        projector_token_length=4, visual_feature_length=16,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(run_dir, 1, 0, 2.5, params, ["projectors", "feature_fusion"])
+    return run_dir
+
+
+def test_load_vid_local_run_dir(tmp_path):
+    run_dir = _make_run_dir(tmp_path)
+    vidlm, params, model_cfg = load_vid_mod.load_vid(str(run_dir), get_model_cfg=True)
+    assert model_cfg.model_id == "tiny-eval"
+    assert set(params.keys()) == {"projectors", "feature_fusion", "video_backbones", "llm_backbone"}
+    # generation runs end-to-end on a raw video array
+    video = (np.random.rand(8, 48, 48, 3) * 255).astype(np.uint8)
+    text = vidlm.generate(params, video, "In: what?\nOut: ", num_frames=model_cfg.num_frames, max_new_tokens=3)
+    assert isinstance(text, str)
+
+
+def test_eval_mcq_end_to_end(tmp_path, monkeypatch):
+    from scripts.eval_mcq import EvalConfig, evaluate
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    cfg = EvalConfig(
+        model_path=str(run_dir),
+        eval_dataset="dummy_mcq",
+        max_new_tokens=3,
+        eval_data_root=REPO / "eval_data",
+        eval_result_root=tmp_path / "eval_result",
+    )
+    evaluate(cfg=cfg)
+
+    result_dir = tmp_path / "eval_result" / str(run_dir)
+    merged = result_dir / "dummy_mcq_naive_pred_merge.jsonl"
+    assert merged.exists()
+    rows = [json.loads(line) for line in merged.read_text().splitlines()]
+    assert len(rows) == 6
+    assert all("pred" in r and "answer_char" in r for r in rows)
+    assert (result_dir / "dummy_mcq_naive_gpt.json").exists()
+
+
+def test_eval_openended_end_to_end(tmp_path, monkeypatch):
+    from scripts.eval_openended import EvalConfig, evaluate
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    cfg = EvalConfig(
+        model_path=str(run_dir),
+        eval_dataset="dummy_openended",
+        max_new_tokens=3,
+        eval_data_root=REPO / "eval_data",
+        eval_result_root=tmp_path / "eval_result",
+        skip_flops=True,
+    )
+    evaluate(cfg=cfg)
+    result_dir = tmp_path / "eval_result" / str(run_dir)
+    merged = result_dir / "dummy_openended_pred_merge.jsonl"
+    assert merged.exists()
+    rows = [json.loads(line) for line in merged.read_text().splitlines()]
+    assert len(rows) == 3 and all("pred" in r for r in rows)
+
+
+def test_gpt_judge_payloads_roundtrip():
+    prediction_set = {
+        "q1": {"q": "What color?", "a": "red", "pred": "It is red."},
+        "q2": {"q": "How many?", "a": "3", "pred": "two"},
+    }
+    lines = build_payloads(prediction_set)
+    assert len(lines) == 2
+    payload = json.loads(lines[0])
+    assert payload["custom_id"] == "q1"
+    assert payload["body"]["model"] == "gpt-4o-mini-2024-07-18"
+    assert "Correct Answer: red" in payload["body"]["messages"][1]["content"]
+
+    shards = shard_payloads(lines, max_items=1)
+    assert len(shards) == 2
+
+    fake_response = "\n".join(
+        json.dumps(
+            {
+                "custom_id": k,
+                "response": {"body": {"choices": [{"message": {"content": "{'pred': 'yes', 'score': 4}"}}]}},
+            }
+        )
+        for k in prediction_set
+    )
+    judged = parse_judge_responses(fake_response)
+    assert judged["q1"] == {"pred": "yes", "score": 4}
+
+    # malformed content falls back to (no, 0)
+    bad = json.dumps({"custom_id": "q9", "response": {"body": {"choices": [{"message": {"content": "garbage"}}]}}})
+    assert parse_judge_responses(bad)["q9"] == {"pred": "no", "score": 0}
