@@ -248,11 +248,74 @@ def _flash_fwd_rule(q, k, v, causal, scale, block_q, block_k, has_mask, kv_mask=
     return out, (q, k, v, kv_mask)
 
 
+def _library_flash(q, k, v, causal, scale, kv_mask):
+    """JAX's shipped Pallas TPU flash attention (fwd AND bwd kernels).
+
+    Used for the backward pass: differentiating through it gives O(T)-memory
+    Pallas gradients instead of materialized [B,H,Tq,Tk] score recompute.
+    GQA handled by repeating KV heads; padding mask encoded as segment ids
+    (pad=0, valid=1 — cross-segment attention is masked).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, H, Tq, D = q.shape
+    Hk, Tk = k.shape[1], k.shape[2]
+    if Hk != H:
+        k = jnp.repeat(k, H // Hk, axis=1)
+        v = jnp.repeat(v, H // Hk, axis=1)
+    seg = None
+    if kv_mask is not None:
+        # kv_mask masks KEYS only (reference semantics: pad queries still
+        # attend valid keys); query segment is all-ones so q==kv segment
+        # exactly where the key is valid.
+        kvseg = kv_mask.astype(jnp.int32)
+        seg = SegmentIds(q=jnp.ones((B, Tq), jnp.int32), kv=kvseg)
+    bq = _pick_block(Tq, 512)
+    bk = _pick_block(Tk, 512)
+    sizes = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    return flash_attention(q, k, v, causal=causal, sm_scale=scale, segment_ids=seg, block_sizes=sizes)
+
+
+def _bwd_compatible(q, k) -> bool:
+    """Static check: library kernel constraints (block divisibility)."""
+    Tq, Tk = q.shape[2], k.shape[2]
+    return (
+        can_use_pallas()
+        and not _INTERPRET
+        and Tq % _pick_block(Tq, 512) == 0
+        and Tk % _pick_block(Tk, 512) == 0
+        and q.shape[-1] >= 128
+    )
+
+
 def _flash_bwd_rule(causal, scale, block_q, block_k, has_mask, res, g):
     q, k, v, kv_mask = res
+    mask = kv_mask if has_mask else None
+
+    if _bwd_compatible(q, k):
+        Hk = k.shape[1]
+
+        def lib(q, k, v):
+            return _library_flash(q, k, v, causal, scale, mask)
+
+        _, vjp = jax.vjp(lib, q, k, v)
+        dq, dk, dv = vjp(g)
+        if Hk != q.shape[1]:  # fold repeated-KV-head grads back (GQA)
+            rep = q.shape[1] // Hk
+            dk = dk.reshape(dk.shape[0], Hk, rep, *dk.shape[2:]).sum(axis=2)
+            dv = dv.reshape(dv.shape[0], Hk, rep, *dv.shape[2:]).sum(axis=2)
+        return (dq, dk, dv, None)
 
     def ref(q, k, v):
-        return attention_reference(q, k, v, causal=causal, kv_mask=kv_mask if has_mask else None, scale=scale)
+        return attention_reference(q, k, v, causal=causal, kv_mask=mask, scale=scale)
 
     _, vjp = jax.vjp(ref, q, k, v)
     dq, dk, dv = vjp(g)
