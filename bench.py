@@ -147,12 +147,12 @@ def main() -> None:
         return
 
     # real chip: full merv-full; back off batch, then LLM depth, on OOM
-    configs = [(32, 2), (32, 1), (16, 4), (16, 2), (8, 2)]
+    configs = [(32, 1), (16, 4), (16, 2), (8, 2)]
     if "BENCH_BATCH" in os.environ:
         configs = [(32, int(os.environ["BENCH_BATCH"]))] + configs
     for layers, batch in configs:
         try:
-            vps = run_bench(build_model(layers), batch=batch, text_len=64)
+            vps = run_bench(build_model(layers), batch=batch, text_len=64, loop_iters=4)
             note = "" if layers == 32 else f" (llm depth {layers}/32)"
             print(json.dumps({
                 "metric": f"videos/sec/chip merv-full 4-encoder prefill{note}",
