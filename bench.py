@@ -127,11 +127,29 @@ def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
         return time.perf_counter() - t0
 
     timed(1)  # compile 1-iter variant + warmup
-    timed(loop_iters)  # compile K-iter variant
-    t1 = min(timed(1) for _ in range(2))
-    tk = min(timed(loop_iters) for _ in range(2))
-    per_iter = max((tk - t1) / (loop_iters - 1), 1e-9)
+    try:
+        timed(loop_iters)  # compile K-iter variant
+        t1 = min(timed(1) for _ in range(2))
+        tk = min(timed(loop_iters) for _ in range(2))
+        per_iter = max((tk - t1) / (loop_iters - 1), 1e-9)
+    except Exception as e:
+        # The chained program can exceed the remote compiler's limits at full
+        # model depth; fall back to sequential single-shot timing with the
+        # measured dispatch round-trip subtracted.
+        print(f"bench: chain variant unavailable ({type(e).__name__}); sequential timing", file=sys.stderr)
+        rtt_probe = jax.jit(lambda x: x + 1)
+        float(rtt_probe(jnp.zeros(())))
+        rtt = min(_timeit(lambda: float(rtt_probe(jnp.zeros(())))) for _ in range(5))
+        t = min(timed(1) for _ in range(4))
+        per_iter = max(t - rtt, 1e-9)
+        print(f"bench: single-shot {t*1e3:.1f}ms, rtt {rtt*1e3:.1f}ms", file=sys.stderr)
     return batch / per_iter  # videos/sec
+
+
+def _timeit(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main() -> None:

@@ -49,6 +49,7 @@ class EvalConfig:
     eval_dataset: str = "Perception"
     num_chunks: int = 1                             # shard-parallel eval
     chunk_idx: int = 0
+    batch_size: int = 1                             # questions per prefill (TPU batching win)
     strategy: str = "naive"                         # answer-extraction strategy
     filename_question: str = "test_q"
     filename_answer: str = "test_a"
@@ -116,36 +117,50 @@ def evaluate(cfg: EvalConfig) -> None:
     merged_path = result_dir / f"{cfg.eval_dataset}_{cfg.strategy}_pred_merge.jsonl"
     accuracy_path = result_dir / f"{cfg.eval_dataset}_{cfg.strategy}_gpt.json"
 
+    def _prep(question):
+        prompt_builder = vidlm.llm_backbone.prompt_builder_fn(model_family="merv")
+        question_text, answer_char = prepare_mcqa_question(question, answers_dict[question["question_id"]], cfg)
+        if "_token" in cfg.eval_dataset:
+            question_text = "<video>\n" + question_text
+        prompt_builder.add_turn(role="human", message=question_text)
+        clip = dict(
+            clip_start_sec=question["time"][0] if "time" in question else 0.0,
+            clip_end_sec=question["time"][1] if "time" in question else None,
+            end_frame=question.get("end_frame"),
+        )
+        return prompt_builder.get_prompt(), answer_char, question_text, clip
+
     with open(temp_output_path, "w") as f:
-        for i, question in enumerate(questions):
-            prompt_builder = vidlm.llm_backbone.prompt_builder_fn(model_family="merv")
-            question_text, answer_char = prepare_mcqa_question(question, answers_dict[question["question_id"]], cfg)
-            if "_token" in cfg.eval_dataset:
-                question_text = "<video>\n" + question_text
-            prompt_builder.add_turn(role="human", message=question_text)
-            prompt_text = prompt_builder.get_prompt()
+        for start in range(0, len(questions), cfg.batch_size):
+            group = questions[start : start + cfg.batch_size]
+            prepped = [_prep(q) for q in group]
+            video_names = [_resolve_video(benchmark_dir, q["video_name"]) for q in group]
 
-            video_name = _resolve_video(benchmark_dir, question["video_name"])
-            generated_text = vidlm.generate(
-                params,
-                video_name,
-                prompt_text,
-                do_sample=cfg.do_sample,
-                temperature=cfg.temperature,
-                max_new_tokens=cfg.max_new_tokens,
-                min_length=cfg.min_length,
-                num_frames=model_cfg.num_frames,
-                clip_start_sec=question["time"][0] if "time" in question else 0.0,
-                clip_end_sec=question["time"][1] if "time" in question else None,
-                end_frame=question.get("end_frame"),
-            )
+            if cfg.batch_size == 1:
+                q, (prompt_text, answer_char, question_text, clip) = group[0], prepped[0]
+                preds = [
+                    vidlm.generate(
+                        params, video_names[0], prompt_text,
+                        do_sample=cfg.do_sample, temperature=cfg.temperature,
+                        max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
+                        num_frames=model_cfg.num_frames, **clip,
+                    )
+                ]
+            else:
+                preds = vidlm.generate_batch(
+                    params, video_names, [p[0] for p in prepped],
+                    num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
+                    do_sample=cfg.do_sample, temperature=cfg.temperature,
+                    clip_args=[p[3] for p in prepped],
+                )
 
-            out = {**question, **answers_dict[question["question_id"]]}
-            out["pred"] = generated_text
-            out["question_text"] = question_text
-            out["answer_char"] = answer_char
-            f.write(json.dumps(out) + "\n")
-            if i % 100 == 99:
+            for question, (_, answer_char, question_text, _), pred in zip(group, prepped, preds):
+                out = {**question, **answers_dict[question["question_id"]]}
+                out["pred"] = pred
+                out["question_text"] = question_text
+                out["answer_char"] = answer_char
+                f.write(json.dumps(out) + "\n")
+            if start % 100 >= 100 - cfg.batch_size:
                 f.flush()
     os.rename(temp_output_path, done_output_path)
 

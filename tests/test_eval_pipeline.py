@@ -165,3 +165,23 @@ def test_gpt_judge_payloads_roundtrip():
     # malformed content falls back to (no, 0)
     bad = json.dumps({"custom_id": "q9", "response": {"body": {"choices": [{"message": {"content": "garbage"}}]}}})
     assert parse_judge_responses(bad)["q9"] == {"pred": "no", "score": 0}
+
+
+def test_eval_mcq_batched(tmp_path, monkeypatch):
+    """batch_size>1 path: one prefill per group via generate_batch."""
+    from scripts.eval_mcq import EvalConfig, evaluate
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    cfg = EvalConfig(
+        model_path=str(run_dir),
+        eval_dataset="dummy_mcq",
+        max_new_tokens=3,
+        batch_size=3,
+        eval_data_root=REPO / "eval_data",
+        eval_result_root=tmp_path / "eval_result",
+    )
+    evaluate(cfg=cfg)
+    merged = tmp_path / "eval_result" / str(run_dir) / "dummy_mcq_naive_pred_merge.jsonl"
+    rows = [json.loads(line) for line in merged.read_text().splitlines()]
+    assert len(rows) == 6 and all(isinstance(r["pred"], str) for r in rows)
