@@ -35,6 +35,8 @@ class GenerationConfig:
     top_p: float = 1.0
     eos_token_id: int = 2
     pad_token_id: int = 0
+    # suppress EOS for the first `min_length` generated tokens (HF min_length)
+    min_length: int = 1
 
 
 def _sample_token(logits: Array, key: Array, cfg: GenerationConfig) -> Array:
@@ -67,20 +69,30 @@ def _decode_scan(
 ) -> Array:
     """Generate num_steps tokens after first_token. Returns [B, num_steps+1]."""
 
-    def step(carry, key_t):
+    def step(carry, scanned):
         token, cache, done, pos = carry
+        key_t, step_idx = scanned
         logits, cache = decoder(
             params, input_ids=token[:, None], kv_cache=cache,
             attention_mask=cache_mask, positions=pos[:, None],
         )
-        nxt = _sample_token(logits[:, 0].astype(jnp.float32), key_t, cfg)
+        step_logits = logits[:, 0].astype(jnp.float32)
+        if cfg.min_length > 1:
+            # token produced at scan step i is generated token i+2 overall
+            suppress = (step_idx + 2) <= cfg.min_length
+            step_logits = jnp.where(
+                suppress & (jnp.arange(step_logits.shape[-1]) == cfg.eos_token_id)[None, :],
+                -jnp.inf, step_logits,
+            )
+        nxt = _sample_token(step_logits, key_t, cfg)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         done = done | (nxt == cfg.eos_token_id)
         return (nxt, cache, done, pos + 1), nxt
 
-    done0 = first_token == cfg.eos_token_id
+    done0 = (first_token == cfg.eos_token_id) & (cfg.min_length <= 1)
     keys = jax.random.split(key, num_steps)
-    (_, _, _, _), tokens = jax.lax.scan(step, (first_token, cache, done0, start_pos), keys)
+    steps = jnp.arange(num_steps)
+    (_, _, _, _), tokens = jax.lax.scan(step, (first_token, cache, done0, start_pos), (keys, steps))
     return jnp.concatenate([first_token[:, None], tokens.T], axis=1)
 
 

@@ -370,6 +370,7 @@ class MERV(VidLM):
         do_sample: bool = False,
         temperature: float = 1.0,
         top_p: float = 1.0,
+        min_length: int = 1,
         rng: Optional[Array] = None,
     ) -> Array:
         """Batched multimodal generation -> new token ids [B, max_new_tokens]."""
@@ -378,6 +379,7 @@ class MERV(VidLM):
         embeds, mask, _ = self.embed_multimodal(params, input_ids, attention_mask, visual, None, is_multimodal)
         cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,
+            min_length=min_length,
             eos_token_id=self.llm_backbone.stop_token_id, pad_token_id=self.llm_backbone.pad_token_id,
         )
         return _generate(
@@ -512,7 +514,8 @@ class MERV(VidLM):
 
         tokens = self.generate_ids(
             params, input_ids, attention_mask, vids, is_multimodal=is_multimodal,
-            max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p, rng=rng,
+            max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,
+            min_length=min_length, rng=rng,
         )
         out = np.asarray(tokens[0]).tolist()
         stop = self.llm_backbone.stop_token_id

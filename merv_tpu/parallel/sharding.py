@@ -143,15 +143,17 @@ def constrain(x: jax.Array, mesh: Mesh, spec: P) -> jax.Array:
 # (see merv_tpu/models/backbones/llm/llama.py param layout).
 
 def llm_tensor_parallel_rules() -> PartitionRules:
+    """Megatron-style column/row split; layer kernels are STACKED [L, in, out]."""
     return PartitionRules(
         [
             # attention: shard heads (output dim of q/k/v kernels, input of o)
-            (r"attn/(q|k|v)_proj/kernel$", P(None, TENSOR_AXIS)),
-            (r"attn/o_proj/kernel$", P(TENSOR_AXIS, None)),
+            (r"attn/(q|k|v)_proj/kernel$", P(None, None, TENSOR_AXIS)),
+            (r"attn/(q|k|v)_proj/bias$", P(None, TENSOR_AXIS)),
+            (r"attn/o_proj/kernel$", P(None, TENSOR_AXIS, None)),
             # mlp: shard ffn dim
-            (r"mlp/(gate|up)_proj/kernel$", P(None, TENSOR_AXIS)),
-            (r"mlp/down_proj/kernel$", P(TENSOR_AXIS, None)),
-            # embeddings / lm head: shard vocab
+            (r"mlp/(gate|up)_proj/kernel$", P(None, None, TENSOR_AXIS)),
+            (r"mlp/down_proj/kernel$", P(None, TENSOR_AXIS, None)),
+            # embeddings / lm head: shard vocab (unstacked)
             (r"embed_tokens/embedding$", P(TENSOR_AXIS, None)),
             (r"lm_head/kernel$", P(None, TENSOR_AXIS)),
         ],

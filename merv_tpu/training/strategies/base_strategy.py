@@ -234,6 +234,14 @@ class TrainingStrategy(ABC):
         if self.max_steps is not None and steps_per_epoch < self.max_steps:
             epochs = 100  # reference base_strategy.py:163-167
 
+        # profiling: MERV_TPU_PROFILE=<dir> captures an XLA trace of steps 3-8
+        # (the TPU-native replacement for the reference's absent profiler, see
+        # SURVEY §5.1; view with tensorboard or xprof)
+        import os as _os
+
+        profile_dir = _os.environ.get("MERV_TPU_PROFILE")
+        profiling = False
+
         global_step = self._resume_step
         loss = 0.0
         done = False
@@ -246,9 +254,18 @@ class TrainingStrategy(ABC):
                     if batch_idx < (self._resume_step % max(steps_per_epoch, 1)):
                         continue
 
+                if profile_dir and global_step == self._resume_step + 3 and not profiling:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+
                 device_batch = self._put_batch(batch)
                 self.state, step_metrics = self.step_fn(self.state, device_batch)
                 global_step += 1
+
+                if profiling and global_step >= self._resume_step + 8:
+                    jax.tree_util.tree_map(lambda x: x.block_until_ready(), step_metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
 
                 loss = float(step_metrics["loss"])
                 metrics.commit(

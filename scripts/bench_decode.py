@@ -12,13 +12,17 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import build_model
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import build_model  # noqa: E402
 from merv_tpu.models.generation import GenerationConfig, _decode_scan
 from merv_tpu.models.backbones.llm.transformer import KVCache
 

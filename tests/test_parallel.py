@@ -51,9 +51,11 @@ def test_shard_params_places_on_mesh(mesh8):
 
 def test_tp_rules_match_paths():
     rules = llm_tensor_parallel_rules()
-    assert rules.spec_for("llm_backbone/layers/0/attn/q_proj/kernel") == P(None, "tensor")
-    assert rules.spec_for("llm_backbone/layers/3/mlp/down_proj/kernel") == P("tensor", None)
-    assert rules.spec_for("llm_backbone/layers/3/input_norm/scale") is None
+    # layer kernels are stacked [L, in, out] -> leading axis unsharded
+    assert rules.spec_for("llm_backbone/layers/attn/q_proj/kernel") == P(None, None, "tensor")
+    assert rules.spec_for("llm_backbone/layers/mlp/down_proj/kernel") == P(None, "tensor", None)
+    assert rules.spec_for("llm_backbone/layers/input_norm/scale") is None
+    assert rules.spec_for("llm_backbone/embed_tokens/embedding") == P("tensor", None)
 
 
 def test_pjit_matmul_runs_sharded(mesh8):
@@ -71,3 +73,28 @@ def test_pjit_matmul_runs_sharded(mesh8):
 
     out = f(xs, ws)
     np.testing.assert_allclose(np.asarray(out), x @ w, rtol=1e-5, atol=1e-5)
+
+
+def test_tensor_parallel_decoder_forward_matches_single_device():
+    """TP over the `tensor` axis: sharded decoder logits == unsharded logits."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from merv_tpu.models.backbones.llm.transformer import LlamaDecoder, tiny_decoder_config
+    from merv_tpu.parallel import MeshConfig, build_mesh, fsdp_specs, llm_tensor_parallel_rules, shard_params
+
+    mesh = build_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+    cfg = tiny_decoder_config(num_heads=4, num_kv_heads=4, head_dim=16, hidden_size=64,
+                              intermediate_size=128, compute_dtype=jnp.float32)
+    dec = LlamaDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 16)), jnp.int32)
+
+    ref_logits, _ = jax.jit(lambda p, i: dec(p, input_ids=i))(params, ids)
+
+    specs = fsdp_specs(params, mesh, overrides=llm_tensor_parallel_rules(), min_weight_size=1)
+    sharded = shard_params(params, specs, mesh)
+    tp_logits, _ = jax.jit(lambda p, i: dec(p, input_ids=i))(sharded, ids)
+
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits), atol=2e-4)
