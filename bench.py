@@ -110,14 +110,26 @@ def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
 
     from functools import partial
 
+    def prefill_logits(params, input_ids, attention_mask, vids):
+        """Serving prefill: towers -> fusion -> splice -> decoder, lm_head on
+        the last position only (what generation actually runs)."""
+        feats = model.encode_videos(params, vids)
+        visual, _ = model.project_and_fuse(params, feats)
+        embeds, mask, _ = model.embed_multimodal(params, input_ids, attention_mask, visual)
+        last = jnp.sum(mask, axis=1).astype(jnp.int32) - 1
+        logits, _ = model.llm_backbone.decoder(
+            params["llm_backbone"], inputs_embeds=embeds,
+            attention_mask=mask.astype(jnp.int32), logits_indices=last,
+        )
+        return logits[:, 0]
+
     @partial(jax.jit, static_argnums=(4,))
     def prefill_chain(params, input_ids, attention_mask, videos, iters):
         def body(i, acc):
             # serial dependency: perturb the first tower's input with the
             # previous scalar so XLA cannot hoist the loop body
             vids = [videos[0] + acc.astype(videos[0].dtype)] + list(videos[1:])
-            out = model.forward(params, input_ids, attention_mask, vids)
-            return out["logits"][:, -1].astype(jnp.float32).mean() * 1e-9
+            return prefill_logits(params, input_ids, attention_mask, vids).astype(jnp.float32).mean() * 1e-9
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
@@ -165,7 +177,7 @@ def main() -> None:
         return
 
     # real chip: full merv-full; back off batch, then LLM depth, on OOM
-    configs = [(32, 1), (16, 4), (16, 2), (8, 2)]
+    configs = [(32, 2), (32, 1), (16, 4), (16, 2), (8, 2)]
     if "BENCH_BATCH" in os.environ:
         configs = [(32, int(os.environ["BENCH_BATCH"]))] + configs
     for layers, batch in configs:

@@ -231,6 +231,7 @@ class LlamaDecoder:
         remat: bool = False,
         attn_impl: str = "auto",
         return_hidden: bool = False,
+        logits_indices: Optional[Array] = None,  # [B] gather positions before lm_head
     ) -> Tuple[Array, Optional[KVCache]]:
         """Full causal decoder forward.
 
@@ -296,6 +297,10 @@ class LlamaDecoder:
         h = m["final_norm"](params["final_norm"], h)
         if return_hidden:
             return h, new_cache
+        if logits_indices is not None:
+            # prefill fast path: project only the requested positions — skips
+            # ~T x V x E of lm_head FLOPs when just the next token is needed
+            h = jnp.take_along_axis(h, logits_indices[:, None, None], axis=1)
         if c.tie_word_embeddings:
             logits = h @ params["embed_tokens"]["embedding"].astype(h.dtype).T
         else:

@@ -127,12 +127,12 @@ def generate(
         n_valid = jnp.full((B,), T, jnp.int32)
         last_idx = jnp.full((B,), T - 1, jnp.int32)
 
+    # prefill: lm_head projects ONLY each row's last valid position
     logits, cache = decoder(
         params, inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-        positions=positions, kv_cache=cache,
+        positions=positions, kv_cache=cache, logits_indices=last_idx,
     )
-    # next-token prediction reads the logit at each row's last *valid* position
-    last_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
+    last_logits = logits[:, 0]
 
     k0, k1 = jax.random.split(rng)
     first = _sample_token(last_logits.astype(jnp.float32), k0, config)
