@@ -84,6 +84,8 @@ def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
     # (random values don't change matmul cost; this is a throughput bench).
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
 
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+
     @jax.jit
     def make_params():
         i = 0
@@ -97,7 +99,15 @@ def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
                 return (jax.random.normal(key, s.shape, jnp.bfloat16) * 0.02).astype(dt)
             return jnp.zeros(s.shape, dt)
 
-        return jax.tree_util.tree_map(mk, shapes)
+        tree = jax.tree_util.tree_map(mk, shapes)
+        if int8:
+            # quantize inside the same program: the bf16 originals are
+            # intermediates XLA frees, so no 2x transient in HBM
+            from merv_tpu.nn.quantization import quantize_tree
+
+            tree = dict(tree)
+            tree["llm_backbone"] = quantize_tree(tree["llm_backbone"])
+        return tree
 
     params = make_params()
 
@@ -140,6 +150,8 @@ def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
 
     timed(1)  # compile 1-iter variant + warmup
     try:
+        if os.environ.get("BENCH_NO_CHAIN", "0") == "1":
+            raise RuntimeError("chain disabled via BENCH_NO_CHAIN")
         timed(loop_iters)  # compile K-iter variant
         t1 = min(timed(1) for _ in range(2))
         tk = min(timed(loop_iters) for _ in range(2))
@@ -193,6 +205,12 @@ def main() -> None:
         except Exception as e:  # OOM or resource failure -> shrink
             msg = str(e).splitlines()[0][:200] if str(e) else ""
             print(f"bench: depth {layers} bsz {batch} failed ({type(e).__name__}: {msg}); retrying smaller", file=sys.stderr)
+            # drop the traceback so the failed attempt's device buffers free
+            import gc
+
+            e.__traceback__ = None
+            del e
+            gc.collect()
     raise SystemExit("bench: all configurations failed")
 
 

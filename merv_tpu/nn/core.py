@@ -124,7 +124,10 @@ class Linear(Module):
         return params
 
     def __call__(self, params: PyTree, x: Array) -> Array:
-        y = x @ params["kernel"].astype(x.dtype)
+        if "kernel_q" in params:  # weight-only int8 serving mode (nn/quantization.py)
+            y = (x @ params["kernel_q"].astype(x.dtype)) * params["scale"].astype(x.dtype)[..., 0, :]
+        else:
+            y = x @ params["kernel"].astype(x.dtype)
         if self.use_bias:
             y = y + params["bias"].astype(x.dtype)
         return y

@@ -39,6 +39,12 @@ def main() -> None:
             lambda s: jnp.zeros(s.shape, jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype), shapes
         )
     )()
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    if int8:
+        from merv_tpu.nn.quantization import quantize_tree
+
+        params = dict(params)
+        params["llm_backbone"] = jax.jit(quantize_tree)(params["llm_backbone"])
 
     T = 64
     input_ids = jnp.full((batch, T), 5, jnp.int32).at[:, 0].set(1)
@@ -87,7 +93,8 @@ def main() -> None:
     t0 = time.perf_counter(); int(decode(first, cache, steps)[0, -1]); tN = time.perf_counter() - t0
     per_tok = max((tN - t1) / (steps - 1), 1e-9)
     print(json.dumps({
-        "metric": f"merv-full decode tokens/sec + p50 TTFT (llm depth {layers}/32, bsz {batch})",
+        "metric": f"merv-full decode tokens/sec + p50 TTFT (llm depth {layers}/32, bsz {batch}"
+                  + (", int8 weights)" if int8 else ")"),
         "decode_tokens_per_sec": round(batch / per_tok, 2),
         "ttft_p50_sec": round(ttft_p50, 4),
         "unit": "tokens/sec; sec",
