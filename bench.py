@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: full-model programs take minutes to compile
+# through the remote-compile tunnel; repeat bench runs hit the cache
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 BASELINE_3090_VIDEOS_PER_SEC = 1.0  # analytic estimate, see module docstring
 
 
@@ -70,6 +75,35 @@ def build_model(num_llm_layers: int, tiny: bool = False):
     )
 
 
+def make_bench_params(shapes, int8: bool = False):
+    """Random bf16 params straight from an eval_shape tree; with ``int8`` the
+    LLM kernels materialize directly in the quantized layout (int8 + scales) —
+    no full-precision transient ever exists in HBM."""
+    if int8:
+        from merv_tpu.nn.quantization import quantize_tree
+
+        shapes = dict(shapes)
+        shapes["llm_backbone"] = jax.eval_shape(quantize_tree, shapes["llm_backbone"])
+
+    @jax.jit
+    def make():
+        i = 0
+
+        def mk(s):
+            nonlocal i
+            i += 1
+            key = jax.random.PRNGKey(i)
+            if s.dtype == jnp.int8:
+                return jax.random.randint(key, s.shape, -127, 127, jnp.int8)
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                return (jax.random.normal(key, s.shape, jnp.float32) * 0.02).astype(jnp.bfloat16)
+            return jnp.zeros(s.shape, s.dtype)
+
+        return jax.tree_util.tree_map(mk, shapes)
+
+    return make()
+
+
 def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
     """videos/sec via a serially-dependent on-device loop.
 
@@ -84,32 +118,7 @@ def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
     # (random values don't change matmul cost; this is a throughput bench).
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
 
-    int8 = os.environ.get("BENCH_INT8", "0") == "1"
-
-    @jax.jit
-    def make_params():
-        i = 0
-
-        def mk(s):
-            nonlocal i
-            i += 1
-            dt = jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype
-            key = jax.random.PRNGKey(i)
-            if jnp.issubdtype(s.dtype, jnp.floating):
-                return (jax.random.normal(key, s.shape, jnp.bfloat16) * 0.02).astype(dt)
-            return jnp.zeros(s.shape, dt)
-
-        tree = jax.tree_util.tree_map(mk, shapes)
-        if int8:
-            # quantize inside the same program: the bf16 originals are
-            # intermediates XLA frees, so no 2x transient in HBM
-            from merv_tpu.nn.quantization import quantize_tree
-
-            tree = dict(tree)
-            tree["llm_backbone"] = quantize_tree(tree["llm_backbone"])
-        return tree
-
-    params = make_params()
+    params = make_bench_params(shapes, int8=os.environ.get("BENCH_INT8", "0") == "1")
 
     input_ids = jnp.full((batch, text_len), 5, jnp.int32).at[:, 0].set(1)
     attention_mask = jnp.ones((batch, text_len), jnp.int32)

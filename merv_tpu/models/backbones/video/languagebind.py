@@ -46,6 +46,7 @@ class LangBindVideoBackbone(VideoBackbone):
         default_image_size: int = 224,
         num_frames: int = 8,
         token: Optional[str] = None,
+        eval_flip: bool = False,
     ) -> None:
         super().__init__(video_backbone_id, image_resize_strategy, default_image_size, num_frames)
         assert "languagebind-video" in video_backbone_id, video_backbone_id
@@ -59,6 +60,7 @@ class LangBindVideoBackbone(VideoBackbone):
             mean=OPENAI_DATASET_MEAN,
             std=OPENAI_DATASET_STD,
             channels_first_time=True,
+            random_hflip_p=0.5 if eval_flip else 0.0,
         )
 
     @property

@@ -44,10 +44,20 @@ class VideoTransform:
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
     channels_first_time: bool = False  # output [C,T,S,S] (LanguageBind) instead of [T,C,S,S]
+    # whole-video horizontal flip probability. The reference's LanguageBind
+    # transform applies RandomHorizontalFlipVideo(p=0.5) even at eval
+    # (reference processing_video.py:72); we default it OFF and expose it for
+    # strict-reproduction runs. Host-side randomness — not usable under jit.
+    random_hflip_p: float = 0.0
     dtype: Any = jnp.float32
 
     def __call__(self, video: Array) -> Array:
         """video: uint8/float [T, H, W, C] -> normalized [T, C, S, S] (or [C, T, S, S])."""
+        if self.random_hflip_p > 0:
+            import numpy as _np
+
+            if _np.random.rand() < self.random_hflip_p:
+                video = jnp.asarray(video)[:, :, ::-1]
         x = jnp.asarray(video).astype(jnp.float32) / 255.0
         T, H, W, C = x.shape
         S = self.target_size
@@ -100,6 +110,8 @@ class VideoTransform:
 
         video = np.asarray(video)
         assert video.ndim == 4, video.shape
+        if self.random_hflip_p > 0 and np.random.rand() < self.random_hflip_p:
+            video = video[:, :, ::-1]
         T, H, W, C = video.shape
         S = self.target_size
         interp = {"bicubic": cv2.INTER_CUBIC, "bilinear": cv2.INTER_LINEAR}[self.interpolation]

@@ -33,18 +33,11 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_DECODE_STEPS", "128"))
     model = build_model(layers, tiny=jax.devices()[0].platform == "cpu")
 
-    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
-    params = jax.jit(
-        lambda: jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype), shapes
-        )
-    )()
-    int8 = os.environ.get("BENCH_INT8", "0") == "1"
-    if int8:
-        from merv_tpu.nn.quantization import quantize_tree
+    from bench import make_bench_params
 
-        params = dict(params)
-        params["llm_backbone"] = jax.jit(quantize_tree)(params["llm_backbone"])
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+    params = make_bench_params(shapes, int8=int8)
 
     T = 64
     input_ids = jnp.full((batch, T), 5, jnp.int32).at[:, 0].set(1)
