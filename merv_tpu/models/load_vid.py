@@ -77,8 +77,14 @@ def load_vid(
     hf_token: Optional[str] = None,
     cache_dir: Optional[Union[str, Path]] = None,
     get_model_cfg: bool = False,
+    quantize_llm: bool = False,
 ):
-    """Load a pretrained MERV -> (vidlm, params) [+ model_cfg]."""
+    """Load a pretrained MERV -> (vidlm, params) [+ model_cfg].
+
+    ``quantize_llm=True`` converts the LLM kernels to the weight-only int8
+    serving layout (see merv_tpu/nn/quantization.py) — halves weight HBM, the
+    mode that fits full llama2-7b decode on a single v5e.
+    """
     if os.path.isdir(model_id_or_path):
         run_dir = Path(model_id_or_path)
         overwatch.info(f"Loading from local path `{run_dir}`")
@@ -159,6 +165,11 @@ def load_vid(
         except Exception as e:
             overwatch.info(f"Base LLM weights unavailable ({type(e).__name__}); random init", ctx_level=1)
             params["llm_backbone"] = llm_backbone.init(key)
+
+    if quantize_llm:
+        from merv_tpu.nn.quantization import quantize_tree
+
+        params["llm_backbone"] = jax.jit(quantize_tree)(params["llm_backbone"])
 
     if get_model_cfg:
         return vidlm, params, model_cfg

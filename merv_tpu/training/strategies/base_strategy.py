@@ -180,19 +180,30 @@ class TrainingStrategy(ABC):
     # -- the loop ------------------------------------------------------------------
 
     def _put_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
-        """Reshape to [accum, micro, ...] and shard the micro-batch axis."""
+        """Reshape to [accum, micro, ...] and shard the micro-batch axis.
+
+        Multi-host: each process holds only its per-host slice (the sampler is
+        process-sharded); ``make_array_from_process_local_data`` assembles the
+        logical global batch without any cross-host copy.
+        """
         accum = self.grad_accumulation_steps
         bspec = batch_spec(self.mesh)
+        multihost = jax.process_count() > 1
+
+        def place(x, spec):
+            sharding = NamedSharding(self.mesh, spec)
+            if multihost:
+                return jax.make_array_from_process_local_data(sharding, x)
+            return jax.device_put(x, sharding)
 
         def prep(x):
             x = np.asarray(x)
             if accum == 1:
                 # no accumulation scan: the step consumes the batch directly
-                return jax.device_put(x, NamedSharding(self.mesh, P(*bspec)))
+                return place(x, P(*bspec))
             micro = x.shape[0] // accum
             x = x.reshape(accum, micro, *x.shape[1:])
-            spec = P(*((None,) + tuple(bspec)))
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
+            return place(x, P(*((None,) + tuple(bspec))))
 
         out = {k: ([prep(v) for v in batch[k]] if isinstance(batch[k], list) else prep(batch[k]))
                for k in ("input_ids", "attention_mask", "labels", "video_values", "is_multimodal", "is_image")}
@@ -209,20 +220,24 @@ class TrainingStrategy(ABC):
     ) -> None:
         import torch.utils.data as tud
 
+        from merv_tpu.util.batching_utils import EpochShardSampler
+
+        # multi-host: each process loads 1/world of every global batch
+        n_proc, rank = jax.process_count(), jax.process_index()
+        host_batch_size = self.global_batch_size // n_proc
         if "finetune" in stage:
             modality_lengths = dataset.get_modality_lengths()
             sampler = SplitModalitySampler(
                 dataset, modality_lengths, global_batch_size=self.global_batch_size,
-                num_replicas=1, rank=0, seed=seed,
+                num_replicas=n_proc, rank=rank, seed=seed,
             )
         else:
-            sampler = None
+            sampler = EpochShardSampler(dataset, num_replicas=n_proc, rank=rank, seed=seed)
 
         dataloader = tud.DataLoader(
             dataset,
-            batch_size=self.global_batch_size,
+            batch_size=host_batch_size,
             sampler=sampler,
-            shuffle=sampler is None,
             collate_fn=collator,
             num_workers=2,
             drop_last=True,

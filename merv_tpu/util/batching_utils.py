@@ -138,3 +138,38 @@ class SplitModalitySampler:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+
+class EpochShardSampler:
+    """Plain shuffled epoch sampler, sharded across processes.
+
+    The align-stage analogue of torch's DistributedSampler (the reference uses
+    DistributedSampler for align, SplitModalitySampler for finetune —
+    ``merv/training/strategies/base_strategy.py:129-151``): a seeded
+    per-epoch permutation padded to a multiple of world size, each process
+    taking a strided slice.
+    """
+
+    def __init__(self, dataset, num_replicas: int = 1, rank: int = 0, seed: int = 0, shuffle: bool = True) -> None:
+        self.dataset, self.num_replicas, self.rank = dataset, num_replicas, rank
+        self.seed, self.epoch, self.shuffle = seed, 0, shuffle
+        self.num_samples = math.ceil(len(dataset) / num_replicas)
+        self.total_size = self.num_samples * num_replicas
+
+    def __iter__(self) -> Iterator[int]:
+        import torch
+
+        if self.shuffle:
+            g = torch.Generator()
+            g.manual_seed(self.seed + self.epoch)
+            indices = torch.randperm(len(self.dataset), generator=g).tolist()
+        else:
+            indices = list(range(len(self.dataset)))
+        indices += indices[: self.total_size - len(indices)]  # pad to multiple
+        return iter(indices[self.rank :: self.num_replicas])
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
