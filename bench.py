@@ -56,15 +56,20 @@ def build_model(num_llm_layers: int, tiny: bool = False):
             towers, tiny_llm_backbone(), projector_token_length=4, visual_feature_length=16,
         )
 
+    # BENCH_TOWERS selects BASELINE configs: "merv" (default, config 3/4),
+    # "dinov2" (config 1), "siglip+dinov2" (config 2)
+    tower_sets = {
+        "merv": (
+            ["languagebind-video-noclass", "dinov2-video-all-tokens",
+             "vivit-google-b-all-no-cls-16frames", "siglip-vit-b16-224px-all-no-cls"],
+            [16, 16, 32, 16],
+        ),
+        "dinov2": (["dinov2-video-all-tokens"], [16]),
+        "siglip+dinov2": (["siglip-vit-b16-224px-all-no-cls", "dinov2-video-all-tokens"], [16, 16]),
+    }
+    ids, frames = tower_sets[os.environ.get("BENCH_TOWERS", "merv")]
     towers, _ = get_video_backbone_and_transform(
-        [
-            "languagebind-video-noclass",
-            "dinov2-video-all-tokens",
-            "vivit-google-b-all-no-cls-16frames",
-            "siglip-vit-b16-224px-all-no-cls",
-        ],
-        image_resize_strategy="resize-naive",
-        num_frames=[16, 16, 32, 16],
+        ids, image_resize_strategy="resize-naive", num_frames=frames,
     )
     cfg = dataclasses.replace(LLAMA2_7B, num_layers=num_llm_layers, param_dtype=jnp.bfloat16)
     spec = LLMSpec("llama2", "__local__/llama2", cfg, PurePromptBuilder, pad_token_id=32000)
