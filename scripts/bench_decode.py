@@ -85,8 +85,9 @@ def main() -> None:
     int(toks[0, -1])
     t0 = time.perf_counter(); int(decode(first, cache, steps)[0, -1]); tN = time.perf_counter() - t0
     per_tok = max((tN - t1) / (steps - 1), 1e-9)
+    towers_tag = os.environ.get("BENCH_TOWERS", "merv")
     print(json.dumps({
-        "metric": f"merv-full decode tokens/sec + p50 TTFT (llm depth {layers}/32, bsz {batch}"
+        "metric": f"{towers_tag} decode tokens/sec + p50 TTFT (llm depth {layers}/32, bsz {batch}"
                   + (", int8 weights)" if int8 else ")"),
         "decode_tokens_per_sec": round(batch / per_tok, 2),
         "ttft_p50_sec": round(ttft_p50, 4),
