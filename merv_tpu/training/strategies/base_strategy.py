@@ -142,7 +142,10 @@ class TrainingStrategy(ABC):
 
         self.video_transforms = video_transforms
         loss_fn = make_loss_fn(self.vidlm, remat=self.enable_gradient_checkpointing, video_transforms=video_transforms)
-        step = make_train_step(loss_fn, self.tx, grad_accumulation_steps=self.grad_accumulation_steps)
+        step = make_train_step(
+            loss_fn, self.tx, grad_accumulation_steps=self.grad_accumulation_steps,
+            trainable_mask=self.vidlm.trainable_mask(params),
+        )
         self.step_fn = jit_train_step(step, self.specs, self.mesh)
 
         if resume_from_checkpoint is not None:

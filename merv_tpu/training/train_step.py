@@ -75,13 +75,28 @@ def make_train_step(
     loss_fn: Callable[[PyTree, Dict[str, Any]], Array],
     tx: optax.GradientTransformation,
     grad_accumulation_steps: int = 1,
+    trainable_mask: Optional[PyTree] = None,
 ) -> Callable[[TrainState, Dict[str, Any]], Tuple[TrainState, Dict[str, Array]]]:
     """Build the (un-jitted) train step; caller jits with shardings.
 
     With accumulation, batch leaves are shaped [accum, micro, ...] and a
     lax.scan averages gradients — the naive mean the reference documents
     (base_strategy.py:227-241), exact when microbatches are equal-sized.
+
+    ``trainable_mask`` stop-gradients frozen leaves inside the loss so XLA
+    prunes their dW GEMMs entirely (align stage: skips every LLM weight-grad
+    matmul while activation gradients still flow to the spliced visual
+    tokens) — the functional analogue of requires_grad=False.
     """
+
+    if trainable_mask is not None:
+        inner_loss = loss_fn
+
+        def loss_fn(params: PyTree, batch: Dict[str, Any]) -> Array:  # noqa: F811
+            masked = jax.tree_util.tree_map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p), params, trainable_mask
+            )
+            return inner_loss(masked, batch)
 
     def compute_grads(params: PyTree, batch: Dict[str, Any]) -> Tuple[Array, PyTree]:
         if grad_accumulation_steps == 1:

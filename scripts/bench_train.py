@@ -65,7 +65,10 @@ def main() -> None:
     state, specs = shard_train_state(state, mesh, strategy="fsdp-full-shard")
 
     loss_fn = make_loss_fn(model, remat=True)
-    step_fn = jit_train_step(make_train_step(loss_fn, tx, grad_accumulation_steps=1), specs, mesh)
+    step_fn = jit_train_step(
+        make_train_step(loss_fn, tx, grad_accumulation_steps=1, trainable_mask=model.trainable_mask(params)),
+        specs, mesh,
+    )
 
     rng = np.random.RandomState(0)
     bshard = batch_sharding(mesh)
