@@ -33,6 +33,7 @@ class GenerationConfig:
     do_sample: bool = False
     temperature: float = 1.0
     top_p: float = 1.0
+    top_k: int = 0  # 0 = disabled
     eos_token_id: int = 2
     pad_token_id: int = 0
     # suppress EOS for the first `min_length` generated tokens (HF min_length)
@@ -44,6 +45,9 @@ def _sample_token(logits: Array, key: Array, cfg: GenerationConfig) -> Array:
     if not cfg.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+    if cfg.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
     if cfg.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -55,7 +59,7 @@ def _sample_token(logits: Array, key: Array, cfg: GenerationConfig) -> Array:
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8))
+@partial(jax.jit, static_argnums=(0, 7, 8), donate_argnums=(3,))
 def _decode_scan(
     decoder: LlamaDecoder,
     params: PyTree,
