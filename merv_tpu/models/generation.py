@@ -46,7 +46,8 @@ def _sample_token(logits: Array, key: Array, cfg: GenerationConfig) -> Array:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / jnp.maximum(cfg.temperature, 1e-6)
     if cfg.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
+        k = min(cfg.top_k, logits.shape[-1])  # HF clamps top_k to vocab
+        kth = jax.lax.top_k(logits, k)[0][:, -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if cfg.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
@@ -70,8 +71,13 @@ def _decode_scan(
     key: Array,
     cfg: GenerationConfig,
     num_steps: int,
-) -> Array:
-    """Generate num_steps tokens after first_token. Returns [B, num_steps+1]."""
+) -> Tuple[Array, KVCache]:
+    """Generate num_steps tokens after first_token.
+
+    Returns ([B, num_steps+1] tokens, final cache). The cache is both donated
+    and returned so XLA aliases the input buffers to the output (in-place
+    updates, no copy); callers that don't need it just drop it.
+    """
 
     def step(carry, scanned):
         token, cache, done, pos = carry
@@ -96,8 +102,8 @@ def _decode_scan(
     done0 = (first_token == cfg.eos_token_id) & (cfg.min_length <= 1)
     keys = jax.random.split(key, num_steps)
     steps = jnp.arange(num_steps)
-    (_, _, _, _), tokens = jax.lax.scan(step, (first_token, cache, done0, start_pos), (keys, steps))
-    return jnp.concatenate([first_token[:, None], tokens.T], axis=1)
+    (_, final_cache, _, _), tokens = jax.lax.scan(step, (first_token, cache, done0, start_pos), (keys, steps))
+    return jnp.concatenate([first_token[:, None], tokens.T], axis=1), final_cache
 
 
 def generate(
@@ -149,7 +155,7 @@ def generate(
         )
     else:
         cache_mask = None
-    tokens = _decode_scan(
+    tokens, _ = _decode_scan(
         decoder, params, first, cache, cache_mask, n_valid, k1, config, config.max_new_tokens - 1
     )
     return tokens

@@ -64,7 +64,7 @@ def main() -> None:
     def decode(first, cache, n):
         start = jnp.full((batch,), total, jnp.int32)
         return _decode_scan(dec, params["llm_backbone"], first, cache, None, start,
-                            jax.random.PRNGKey(0), gen_cfg, n)
+                            jax.random.PRNGKey(0), gen_cfg, n)[0]
 
     # --- TTFT: prefill + first-token fetch (tunnel RTT included — that IS TTFT here)
     first, cache = prefill(params, input_ids, attention_mask, videos)
