@@ -36,7 +36,10 @@ class GenerationConfig:
     top_k: int = 0  # 0 = disabled
     eos_token_id: int = 2
     pad_token_id: int = 0
-    # suppress EOS for the first `min_length` generated tokens (HF min_length)
+    # HF MinLengthLogitsProcessor semantics: EOS is banned while the total
+    # sequence length (prompt + generated so far) is < min_length. The
+    # reference's eval configs pass min_length=1, a no-op since prompts are
+    # non-empty — preserved exactly.
     min_length: int = 1
 
 
@@ -60,6 +63,16 @@ def _sample_token(logits: Array, key: Array, cfg: GenerationConfig) -> Array:
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def _ban_eos_below_min_length(logits: Array, cur_len: Array, cfg: GenerationConfig) -> Array:
+    """logits [B, V], cur_len [B] (tokens so far incl. prompt): ban EOS while
+    cur_len < min_length (HF MinLengthLogitsProcessor)."""
+    if cfg.min_length <= 1:
+        return logits
+    is_eos = (jnp.arange(logits.shape[-1]) == cfg.eos_token_id)[None, :]
+    suppress = (cur_len < cfg.min_length)[:, None]
+    return jnp.where(suppress & is_eos, -jnp.inf, logits)
+
+
 @partial(jax.jit, static_argnums=(0, 7, 8), donate_argnums=(3,))
 def _decode_scan(
     decoder: LlamaDecoder,
@@ -79,30 +92,23 @@ def _decode_scan(
     updates, no copy); callers that don't need it just drop it.
     """
 
-    def step(carry, scanned):
+    def step(carry, key_t):
         token, cache, done, pos = carry
-        key_t, step_idx = scanned
         logits, cache = decoder(
             params, input_ids=token[:, None], kv_cache=cache,
             attention_mask=cache_mask, positions=pos[:, None],
         )
         step_logits = logits[:, 0].astype(jnp.float32)
-        if cfg.min_length > 1:
-            # token produced at scan step i is generated token i+2 overall
-            suppress = (step_idx + 2) <= cfg.min_length
-            step_logits = jnp.where(
-                suppress & (jnp.arange(step_logits.shape[-1]) == cfg.eos_token_id)[None, :],
-                -jnp.inf, step_logits,
-            )
+        # pos = per-row sequence length so far (prompt + generated)
+        step_logits = _ban_eos_below_min_length(step_logits, pos + 1, cfg)
         nxt = _sample_token(step_logits, key_t, cfg)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         done = done | (nxt == cfg.eos_token_id)
         return (nxt, cache, done, pos + 1), nxt
 
-    done0 = (first_token == cfg.eos_token_id) & (cfg.min_length <= 1)
+    done0 = first_token == cfg.eos_token_id
     keys = jax.random.split(key, num_steps)
-    steps = jnp.arange(num_steps)
-    (_, final_cache, _, _), tokens = jax.lax.scan(step, (first_token, cache, done0, start_pos), (keys, steps))
+    (_, final_cache, _, _), tokens = jax.lax.scan(step, (first_token, cache, done0, start_pos), keys)
     return jnp.concatenate([first_token[:, None], tokens.T], axis=1), final_cache
 
 
@@ -145,7 +151,8 @@ def generate(
     last_logits = logits[:, 0]
 
     k0, k1 = jax.random.split(rng)
-    first = _sample_token(last_logits.astype(jnp.float32), k0, config)
+    first_logits = _ban_eos_below_min_length(last_logits.astype(jnp.float32), n_valid, config)
+    first = _sample_token(first_logits, k0, config)
 
     if config.max_new_tokens == 1:
         return first[:, None]

@@ -370,6 +370,7 @@ class MERV(VidLM):
         do_sample: bool = False,
         temperature: float = 1.0,
         top_p: float = 1.0,
+        top_k: int = 0,
         min_length: int = 1,
         rng: Optional[Array] = None,
     ) -> Array:
@@ -379,7 +380,7 @@ class MERV(VidLM):
         embeds, mask, _ = self.embed_multimodal(params, input_ids, attention_mask, visual, None, is_multimodal)
         cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,
-            min_length=min_length,
+            top_k=top_k, min_length=min_length,
             eos_token_id=self.llm_backbone.stop_token_id, pad_token_id=self.llm_backbone.pad_token_id,
         )
         return _generate(
@@ -397,6 +398,8 @@ class MERV(VidLM):
         do_sample: bool = False,
         temperature: float = 1.0,
         top_p: float = 1.0,
+        top_k: int = 0,
+        min_length: int = 1,
         clip_args: Optional[Sequence[Dict[str, Any]]] = None,
         rng: Optional[Array] = None,
     ) -> List[str]:
@@ -447,7 +450,7 @@ class MERV(VidLM):
             params, jnp.asarray(input_ids), jnp.asarray(attention_mask), vids,
             is_multimodal=jnp.asarray(is_mm),
             max_new_tokens=max_new_tokens, do_sample=do_sample,
-            temperature=temperature, top_p=top_p, rng=rng,
+            temperature=temperature, top_p=top_p, top_k=top_k, min_length=min_length, rng=rng,
         )
         stop = self.llm_backbone.stop_token_id
         outs = []
@@ -468,6 +471,7 @@ class MERV(VidLM):
         do_sample: bool = False,
         temperature: float = 1.0,
         top_p: float = 1.0,
+        top_k: int = 0,
         min_length: int = 1,
         clip_start_sec: float = 0.0,
         clip_end_sec: Optional[float] = None,
@@ -515,7 +519,7 @@ class MERV(VidLM):
         tokens = self.generate_ids(
             params, input_ids, attention_mask, vids, is_multimodal=is_multimodal,
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,
-            min_length=min_length, rng=rng,
+            top_k=top_k, min_length=min_length, rng=rng,
         )
         out = np.asarray(tokens[0]).tolist()
         stop = self.llm_backbone.stop_token_id

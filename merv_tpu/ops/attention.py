@@ -134,18 +134,23 @@ def _flash_fwd_kernel(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, block_k]
 
+        valid = jnp.ones((bq, block_k), jnp.bool_)
         if use_mask:
             kvm = mask_ref[batch_idx, pl.ds(kv_i * block_k, block_k)]
-            s = jnp.where((kvm > 0)[None, :], s, DEFAULT_MASK_VALUE)
+            valid = valid & (kvm > 0)[None, :]
         if causal:
             q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0) + q_block_idx * bq + q_offset
             k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_i * block_k
-            s = jnp.where(k_pos <= q_pos, s, DEFAULT_MASK_VALUE)
+            valid = valid & (k_pos <= q_pos)
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        # exact zero at masked positions: exp(MASK - m) == 1 when a row is
+        # fully masked (m == MASK), which would corrupt l; the multiply keeps
+        # l == 0 there so the safe_l guard returns 0 output for such rows
+        p = jnp.exp(s - m_new) * valid.astype(jnp.float32)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc_prev * alpha + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -374,6 +379,7 @@ def attention(
         and D % 128 == 0
     )
     if use_pallas:
+        assert bias is None, "additive bias is not supported by the Pallas kernel (use impl='xla')"
         if q_offset is not None:
             # cache-aware prefill: direct (non-VJP) kernel call
             return _flash_forward(q, k, v, kv_mask, causal, scale_val, block_q, block_k, q_offset)

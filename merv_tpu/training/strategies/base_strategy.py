@@ -85,10 +85,11 @@ class TrainingStrategy(ABC):
         self.mesh = mesh if mesh is not None else build_mesh()
         self.world_size = int(np.prod(list(self.mesh.shape.values())))
 
-        self.grad_accumulation_steps = self.global_batch_size // self.per_device_batch_size // self.world_size
-        assert self.global_batch_size % self.per_device_batch_size == 0, (
-            "Global batch size must be divisible by per-device batch size!"
+        assert self.global_batch_size % (self.per_device_batch_size * self.world_size) == 0, (
+            f"global_bsz {global_batch_size} must be divisible by per_device_bsz {per_device_batch_size}"
+            f" x world {self.world_size}"
         )
+        self.grad_accumulation_steps = self.global_batch_size // self.per_device_batch_size // self.world_size
         assert self.grad_accumulation_steps >= 1, (
             f"global_bsz {global_batch_size} < per_device_bsz {per_device_batch_size} x world {self.world_size}"
         )
@@ -263,11 +264,30 @@ class TrainingStrategy(ABC):
         global_step = self._resume_step
         loss = 0.0
         done = False
+        pending = None  # (global_step, device loss) — fetched one step late so
+        # the host never blocks the step it just dispatched (async pipelining)
+
+        def drain_pending() -> None:
+            nonlocal loss, pending
+            if pending is None:
+                return
+            p_step, p_loss = pending
+            pending = None
+            loss = float(p_loss)
+            metrics.commit(
+                global_step=p_step, lr=float(self.schedule(p_step)),
+                update_step_time=True, loss=loss,
+            )
+            status = metrics.push()
+            if overwatch.is_rank_zero() and p_step % 10 == 0:
+                overwatch.info(status or metrics.get_status(loss))
+
         for epoch in range(self._resume_epoch, epochs):
             if sampler is not None:
                 sampler.set_epoch(epoch)
             for batch_idx, batch in enumerate(dataloader):
-                # resume fast-forward (reference :191-202)
+                # resume fast-forward within the partially-consumed epoch
+                # (reference :191-202)
                 if epoch == self._resume_epoch and self._resume_step > 0:
                     if batch_idx < (self._resume_step % max(steps_per_epoch, 1)):
                         continue
@@ -285,22 +305,21 @@ class TrainingStrategy(ABC):
                     jax.profiler.stop_trace()
                     profiling = False
 
-                loss = float(step_metrics["loss"])
-                metrics.commit(
-                    global_step=global_step, lr=float(self.schedule(global_step)),
-                    update_step_time=True, loss=loss,
-                )
-                status = metrics.push()
-                if overwatch.is_rank_zero() and global_step % 10 == 0:
-                    overwatch.info(status or metrics.get_status(loss))
+                drain_pending()  # previous step has certainly finished by now
+                pending = (global_step, step_metrics["loss"])
 
                 if run_dir is not None and global_step % self.save_checkpoint_after == 0:
+                    drain_pending()
                     self.save_checkpoint(run_dir, global_step, epoch, loss)
 
                 if self.max_steps is not None and global_step >= self.max_steps:
                     done = True
                     break
+            drain_pending()
             if run_dir is not None:
-                self.save_checkpoint(run_dir, global_step, epoch, loss)
+                # end-of-epoch checkpoints record the NEXT epoch so resume
+                # does not replay the epoch that just completed
+                self.save_checkpoint(run_dir, global_step, epoch + 1, loss)
             if done:
                 break
+        drain_pending()

@@ -98,6 +98,31 @@ def make_train_step(
             )
             return inner_loss(masked, batch)
 
+    # with a trainable mask, frozen leaves never carry fp32 accumulation
+    # buffers (a 7B frozen LLM would otherwise cost ~28GB of zero gradients)
+    tmap = jax.tree_util.tree_map
+
+    def _zeros_carry(params: PyTree) -> PyTree:
+        if trainable_mask is None:
+            return tmap(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        return tmap(
+            lambda p, t: jnp.zeros_like(p, jnp.float32) if t else jnp.zeros((), jnp.float32),
+            params, trainable_mask,
+        )
+
+    def _accumulate(carry: PyTree, grads: PyTree) -> PyTree:
+        if trainable_mask is None:
+            return tmap(jnp.add, carry, grads)
+        return tmap(lambda c, g, t: c + g if t else c, carry, grads, trainable_mask)
+
+    def _finalize(carry: PyTree, params: PyTree, n: float) -> PyTree:
+        if trainable_mask is None:
+            return tmap(lambda g: g / n, carry)
+        return tmap(
+            lambda c, p, t: c / n if t else jnp.zeros_like(p, jnp.float32),
+            carry, params, trainable_mask,
+        )
+
     def compute_grads(params: PyTree, batch: Dict[str, Any]) -> Tuple[Array, PyTree]:
         if grad_accumulation_steps == 1:
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
@@ -106,12 +131,13 @@ def make_train_step(
         def micro(carry, mb):
             loss_sum, grad_sum = carry
             loss, grads = jax.value_and_grad(loss_fn)(params, mb)
-            return (loss_sum + loss, jax.tree_util.tree_map(jnp.add, grad_sum, grads)), None
+            return (loss_sum + loss, _accumulate(grad_sum, grads)), None
 
-        zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params)
-        (loss_sum, grad_sum), _ = jax.lax.scan(micro, (jnp.zeros((), jnp.float32), zeros), batch)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            micro, (jnp.zeros((), jnp.float32), _zeros_carry(params)), batch
+        )
         n = float(grad_accumulation_steps)
-        return loss_sum / n, jax.tree_util.tree_map(lambda g: g / n, grad_sum)
+        return loss_sum / n, _finalize(grad_sum, params, n)
 
     def train_step(state: TrainState, batch: Dict[str, Any]) -> Tuple[TrainState, Dict[str, Array]]:
         loss, grads = compute_grads(state.params, batch)
@@ -148,18 +174,27 @@ def train_state_specs(
     if strategy == "ddp":
         opt_specs = jax.tree_util.tree_map(lambda _: P(), state.opt_state)
     else:
-        # optimizer-state leaves mirror parameter shapes (mu/nu); shard them
-        # like full-shard params; scalar counts replicate
+        # optimizer-state leaves mirror parameter shapes (mu/nu): match each
+        # by its trailing param path inside the optax state wrappers so its
+        # sharding is IDENTICAL to the param's (incl. any override rules);
+        # scalar counts replicate
+        def norm_key(k) -> str:
+            for attr in ("key", "name", "idx"):
+                if hasattr(k, attr):
+                    return str(getattr(k, attr))
+            return str(k)
+
         flat_param_specs = {
-            tuple(str(k) for k in path): spec
-            for path, spec in jax.tree_util.tree_flatten_with_path(fsdp_specs(state.params, mesh))[0]
+            tuple(norm_key(k) for k in path): spec
+            for path, spec in jax.tree_util.tree_flatten_with_path(
+                fsdp_specs(state.params, mesh), is_leaf=lambda x: isinstance(x, P)
+            )[0]
         }
 
         def opt_spec(path, leaf):
             if getattr(leaf, "ndim", 0) == 0:
                 return P()
-            # match trailing param path inside optax state wrappers
-            key = tuple(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+            key = tuple(norm_key(k) for k in path)
             for plen in range(len(key)):
                 if key[plen:] in flat_param_specs:
                     return flat_param_specs[key[plen:]]

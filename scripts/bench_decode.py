@@ -23,8 +23,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bench import build_model  # noqa: E402
-from merv_tpu.models.generation import GenerationConfig, _decode_scan
-from merv_tpu.models.backbones.llm.transformer import KVCache
+from merv_tpu.models.backbones.llm.transformer import KVCache  # noqa: E402
+from merv_tpu.models.generation import GenerationConfig, _decode_scan  # noqa: E402
 
 
 def main() -> None:

@@ -10,6 +10,11 @@ Env: BENCH_LLM_LAYERS (default 8), BENCH_BATCH (default 2), BENCH_TEXT (64).
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import json
 import os
 import sys
@@ -20,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bench import build_model  # noqa: E402
 from merv_tpu.models.vidlms.base_vidlm import IGNORE_INDEX  # noqa: E402

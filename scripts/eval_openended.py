@@ -10,6 +10,11 @@ Scoring happens downstream in ``eval_gpt_batch.py`` (LLM judge).
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import glob
 import json
 import os

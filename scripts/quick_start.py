@@ -1,5 +1,10 @@
 """Canonical inference example (parity: reference ``scripts/quick_start.py``)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from pathlib import Path
 
 from merv_tpu.models.load_vid import load_vid

@@ -182,3 +182,37 @@ def test_batched_padded_generation_consistent(hf_and_ours):
 
     np.testing.assert_array_equal(np.asarray(out_batch[0]), np.asarray(out_a[0]))
     np.testing.assert_array_equal(np.asarray(out_batch[1]), np.asarray(out_b[0]))
+
+
+def test_min_length_suppresses_eos():
+    """HF MinLengthLogitsProcessor semantics: EOS banned while total length < min_length."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from merv_tpu.models.backbones.llm.transformer import LlamaDecoder, tiny_decoder_config
+    from merv_tpu.models.generation import GenerationConfig, generate
+
+    from merv_tpu.models.generation import _ban_eos_below_min_length
+
+    # unit: ban applies per-row while total length < min_length
+    logits = jnp.zeros((2, 8))
+    banned = _ban_eos_below_min_length(logits, jnp.asarray([3, 9]), GenerationConfig(eos_token_id=5, min_length=6))
+    assert np.isneginf(np.asarray(banned)[0, 5]) and np.isfinite(np.asarray(banned)[1, 5])
+
+    cfg = tiny_decoder_config(compute_dtype=jnp.float32)
+    dec = LlamaDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(3, 250, (1, 4)), jnp.int32)
+
+    # whatever greedy decode naturally emits first, declare it the EOS token
+    free = np.asarray(generate(dec, params, input_ids=ids, config=GenerationConfig(max_new_tokens=4, eos_token_id=-1))[0])
+    eos = int(free[0])
+
+    # with min_length = prompt(4) + 3, the first 3 generated tokens cannot be EOS
+    toks = generate(
+        dec, params, input_ids=ids,
+        config=GenerationConfig(max_new_tokens=6, eos_token_id=eos, min_length=7),
+    )
+    out = np.asarray(toks[0])
+    assert all(t != eos for t in out[:3]), (out, eos)
