@@ -179,6 +179,18 @@ def _flash_forward(
     assert H % Hk == 0, (H, Hk)
     q_per_kv = H // Hk
 
+    # Pad head_dim to a 128-lane multiple (MXU tile width). Zero-padding is
+    # exact: q.k logits are unchanged (extra dims contribute 0) and the padded
+    # v columns produce output columns that are sliced off below. This is what
+    # lets every vision tower (head_dim 64: SigLIP/DINOv2/ViViT/LanguageBind)
+    # run the flash kernel instead of materializing [T, T] scores — the caller
+    # computes `scale` from the ORIGINAL D before padding.
+    Dp = max(128, -(-D // 128) * 128)
+    if Dp != D:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+
     bq = _pick_block(Tq, block_q)
     bk = _pick_block(Tk, block_k)
 
@@ -217,12 +229,12 @@ def _flash_forward(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM if _PALLAS_TPU else pl.ANY),
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Tk_p, D), lambda b, h, i: (b, h // q_per_kv, 0, 0)),
-            pl.BlockSpec((1, 1, Tk_p, D), lambda b, h, i: (b, h // q_per_kv, 0, 0)),
+            pl.BlockSpec((1, 1, bq, Dp), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Tk_p, Dp), lambda b, h, i: (b, h // q_per_kv, 0, 0)),
+            pl.BlockSpec((1, 1, Tk_p, Dp), lambda b, h, i: (b, h // q_per_kv, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, Tq_p, D), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, bq, Dp), lambda b, h, i: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq_p, Dp), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
@@ -235,6 +247,8 @@ def _flash_forward(
     )(qoff, kv_mask_i, q, k, v)
     if Tq_p != Tq:
         out = out[:, :, :Tq, :]
+    if Dp != D:
+        out = out[:, :, :, :D]
     return out
 
 
@@ -289,12 +303,18 @@ def _library_flash(q, k, v, causal, scale, kv_mask):
     return flash_attention(q, k, v, causal=causal, sm_scale=scale, segment_ids=seg, block_sizes=sizes)
 
 
-def _bwd_compatible(q, k) -> bool:
-    """Static check: library kernel constraints (block divisibility)."""
+def _bwd_compatible(q, k, causal) -> bool:
+    """Static check: library kernel constraints (block divisibility).
+
+    ``causal and Tq != Tk`` is excluded: the custom forward right-aligns the
+    causal mask (offset Tk-Tq) while the library kernel assumes top-left
+    alignment — gradients would belong to a differently-masked function.
+    """
     Tq, Tk = q.shape[2], k.shape[2]
     return (
         can_use_pallas()
         and not _INTERPRET
+        and (not causal or Tq == Tk)
         and Tq % _pick_block(Tq, 512) == 0
         and Tk % _pick_block(Tk, 512) == 0
         and q.shape[-1] >= 128
@@ -305,7 +325,7 @@ def _flash_bwd_rule(causal, scale, block_q, block_k, has_mask, res, g):
     q, k, v, kv_mask = res
     mask = kv_mask if has_mask else None
 
-    if _bwd_compatible(q, k):
+    if _bwd_compatible(q, k, causal):
         Hk = k.shape[1]
 
         def lib(q, k, v):
@@ -376,7 +396,9 @@ def attention(
         and can_use_pallas()
         and Tq >= 128
         and Tk >= 128
-        and D % 128 == 0
+        # any head_dim: the kernel zero-pads D to the 128-lane MXU tile, so
+        # the 64-dim vision towers (ViViT's 3137-token sequences especially)
+        # run flash instead of materializing [Tq, Tk] scores
     )
     if use_pallas:
         assert bias is None, "additive bias is not supported by the Pallas kernel (use impl='xla')"

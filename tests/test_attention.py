@@ -56,6 +56,42 @@ def test_flash_cache_prefill_offset(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("D", [64, 80])
+def test_flash_head_dim_padding(D, rng):
+    # head_dim < 128 (every vision tower is 64) pads to the 128-lane tile
+    # inside the kernel; zero-padding must be numerically exact
+    q, k, v = _rand_qkv(rng, B=2, H=4, Hk=4, Tq=256, Tk=256, D=D)
+    ref = A.attention_reference(q, k, v)
+    out = A._flash_forward(q, k, v, None, False, D ** -0.5, 128, 128)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_head_dim_padding_masked_causal(rng):
+    q, k, v = _rand_qkv(rng, B=2, H=4, Hk=2, Tq=256, Tk=256, D=64)
+    kv_mask = jnp.asarray(np.random.RandomState(1).rand(2, 256) > 0.3)
+    ref = A.attention_reference(q, k, v, causal=True, kv_mask=kv_mask)
+    out = A._flash_forward(q, k, v, kv_mask, True, 64.0 ** -0.5, 128, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_bwd_path_pinning(monkeypatch):
+    """Pin which backward path training actually takes (VERDICT weak #6):
+    the padded 3072-token training shapes must satisfy the library-kernel
+    constraints, and causal Tq != Tk must NOT (mask-alignment mismatch)."""
+    monkeypatch.setattr(A, "_INTERPRET", False)
+    monkeypatch.setattr(A, "can_use_pallas", lambda: True)
+    train_q = jnp.zeros((1, 32, 3072, 128))
+    assert A._bwd_compatible(train_q, train_q, True)
+    assert A._bwd_compatible(train_q, train_q, False)
+    # head_dim 64 towers: forward runs the padded custom kernel, backward
+    # falls back to the XLA reference (towers are frozen in every stage)
+    assert not A._bwd_compatible(jnp.zeros((1, 12, 3072, 64)), jnp.zeros((1, 12, 3072, 64)), False)
+    # causal cross-length: library kernel's top-left mask != our right-aligned mask
+    assert not A._bwd_compatible(jnp.zeros((1, 2, 512, 128)), jnp.zeros((1, 2, 1024, 128)), True)
+    assert A._bwd_compatible(jnp.zeros((1, 2, 512, 128)), jnp.zeros((1, 2, 1024, 128)), False)
+
+
 def test_flash_backward_grads(rng):
     q, k, v = _rand_qkv(rng, B=1, H=2, Hk=2, Tq=128, Tk=128, D=128)
 
