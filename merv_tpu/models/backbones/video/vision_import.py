@@ -307,10 +307,136 @@ def load_pretrained_tower(backbone: Any) -> PyTree:
         model = VivitModel.from_pretrained(backbone.huggingface_path_or_url, local_files_only=not online)
         return backbone.load_state_dict(model.state_dict())
     if hasattr(backbone, "huggingface_path"):  # Hiera (original repo layout weights)
-        raise FileNotFoundError(
-            f"Hiera weights for {ident}: export the original checkpoint to $MERV_TPU_TOWER_DIR/{ident}.safetensors"
-        )
-    # LanguageBind: vendored torch checkpoint required
+        return backbone.load_state_dict(extract_hiera_state(None, online))
+    if "languagebind" in ident:  # LanguageBind: HF snapshot of the dual-tower ckpt
+        return backbone.load_state_dict(extract_languagebind_state(None, online))
     raise FileNotFoundError(
-        f"No pretrained source for {ident}: export weights to $MERV_TPU_TOWER_DIR/{ident}.safetensors"
+        f"No pretrained source for {ident}: run scripts/export_towers.py to produce "
+        f"$MERV_TPU_TOWER_DIR/{ident}.safetensors"
     )
+
+
+# ---------------------------------------------------------------------------
+# Torch-checkpoint extraction (shared with scripts/export_towers.py)
+# ---------------------------------------------------------------------------
+
+
+def to_numpy_state(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Torch/np state dict -> contiguous fp32/np arrays (safetensors-ready)."""
+    out = {}
+    for k, v in state.items():
+        if hasattr(v, "detach"):
+            v = v.detach()
+            if str(v.dtype) == "torch.bfloat16":
+                v = v.float()
+            v = v.cpu().numpy()
+        arr = np.asarray(v)
+        if arr.dtype == np.float64:
+            arr = arr.astype(np.float32)
+        out[k] = np.ascontiguousarray(arr)
+    return out
+
+
+def load_torch_ckpt_file(path: Any) -> Dict[str, Any]:
+    """torch.load + unwrap the usual nesting keys (model_state/state_dict/...)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("model_state", "state_dict", "model", "module"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+            break
+    assert isinstance(obj, dict), f"unrecognized checkpoint structure in {path}"
+    return obj
+
+
+def load_snapshot_dir(path: Any) -> Dict[str, Any]:
+    """Read every *.safetensors / pytorch_model*.bin in an HF snapshot dir."""
+    import glob
+    from pathlib import Path
+
+    path = Path(path)
+    state: Dict[str, Any] = {}
+    st_files = sorted(glob.glob(str(path / "*.safetensors")))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            state.update(load_file(f))
+        return state
+    bin_files = sorted(glob.glob(str(path / "pytorch_model*.bin"))) or sorted(glob.glob(str(path / "*.pth")))
+    assert bin_files, f"no weight files found under {path}"
+    for f in bin_files:
+        state.update(load_torch_ckpt_file(f))
+    return state
+
+
+def hf_cache_snapshot(repo_id: str):
+    """Newest local snapshot dir for an HF repo, if cached."""
+    import os
+    from pathlib import Path
+
+    cache = Path(os.environ.get("HF_HUB_CACHE", Path.home() / ".cache/huggingface/hub"))
+    repo_dir = cache / f"models--{repo_id.replace('/', '--')}" / "snapshots"
+    if not repo_dir.exists():
+        return None
+    snaps = sorted(repo_dir.iterdir(), key=lambda p: p.stat().st_mtime)
+    return snaps[-1] if snaps else None
+
+
+def extract_languagebind_state(source: Optional[str], online: bool) -> Dict[str, np.ndarray]:
+    """LanguageBind_Video_merge ckpt -> ``vision_model.*`` keys only (the
+    reference keeps ``.vision_model`` of the dual-tower CLIP checkpoint,
+    reference ``languagebind/__init__.py:60-63``)."""
+    from pathlib import Path
+
+    if source:
+        p = Path(source)
+        raw = load_snapshot_dir(p) if p.is_dir() else load_torch_ckpt_file(p)
+    else:
+        snap = hf_cache_snapshot("LanguageBind/LanguageBind_Video_merge")
+        if snap is None and online:
+            from huggingface_hub import snapshot_download
+
+            snap = Path(snapshot_download("LanguageBind/LanguageBind_Video_merge"))
+        if snap is None:
+            raise FileNotFoundError(
+                "LanguageBind checkpoint not cached; pass a local snapshot/ckpt or set MERV_TPU_ONLINE=1"
+            )
+        raw = load_snapshot_dir(snap)
+    state = {
+        k: v
+        for k, v in to_numpy_state(raw).items()
+        if k.startswith("vision_model.") and not k.endswith("position_ids")
+    }
+    assert any(".temporal_attn." in k for k in state), "not a LanguageBind *video* checkpoint (no temporal_attn)"
+    return state
+
+
+def extract_hiera_state(source: Optional[str], online: bool) -> Dict[str, np.ndarray]:
+    """Original-repo Hiera ``.pth`` (torch hub layout) -> flat state dict."""
+    import glob
+    import os
+    from pathlib import Path
+
+    if source:
+        raw = load_torch_ckpt_file(Path(source))
+    else:
+        hub_dir = Path(os.environ.get("TORCH_HOME", Path.home() / ".cache/torch")) / "hub" / "checkpoints"
+        cands = sorted(glob.glob(str(hub_dir / "*hiera_base_plus_16x224*"))) if hub_dir.exists() else []
+        if cands:
+            raw = load_torch_ckpt_file(Path(cands[-1]))
+        elif online:
+            import torch
+
+            url = "https://dl.fbaipublicfiles.com/hiera/mae_k400/hiera_base_plus_16x224.pth"
+            raw = torch.hub.load_state_dict_from_url(url, map_location="cpu", check_hash=False)
+            for key in ("model_state", "state_dict"):
+                if isinstance(raw, dict) and key in raw:
+                    raw = raw[key]
+                    break
+        else:
+            raise FileNotFoundError(
+                "Hiera checkpoint not cached; pass a local .pth or set MERV_TPU_ONLINE=1"
+            )
+    return {k: v for k, v in to_numpy_state(raw).items() if not k.startswith("head.")}

@@ -54,8 +54,8 @@ def get_model_description(model_id_or_name: str) -> str:
     return description
 
 
-def _load_tower_params(vidlm, key) -> Dict[str, Any]:
-    """Pretrained tower weights where available; random init otherwise."""
+def _load_tower_params(vidlm, key, allow_random: bool) -> Dict[str, Any]:
+    """Pretrained tower weights; random init only when explicitly allowed."""
     towers: Dict[str, Any] = {}
     keys = jax.random.split(key, len(vidlm.video_backbones))
     for i, (vb, k) in enumerate(zip(vidlm.video_backbones, keys)):
@@ -65,8 +65,16 @@ def _load_tower_params(vidlm, key) -> Dict[str, Any]:
 
             loaded = load_pretrained_tower(vb)
         except Exception as e:
-            overwatch.info(
-                f"Pretrained weights for {vb.identifier} unavailable ({type(e).__name__}); random init", ctx_level=1
+            if not allow_random:
+                raise RuntimeError(
+                    f"Pretrained weights for tower {vb.identifier!r} unavailable "
+                    f"({type(e).__name__}: {e}). Run scripts/export_towers.py to populate "
+                    f"$MERV_TPU_TOWER_DIR, or pass allow_random_weights=True for "
+                    f"structure/speed testing (outputs will be meaningless)."
+                ) from e
+            overwatch.warning(
+                f"Pretrained weights for {vb.identifier} unavailable ({type(e).__name__}); RANDOM init "
+                f"— outputs are meaningless (structure/speed testing only)", ctx_level=1
             )
         towers[str(i)] = loaded if loaded is not None else vb.init(k)
     return towers
@@ -78,12 +86,17 @@ def load_vid(
     cache_dir: Optional[Union[str, Path]] = None,
     get_model_cfg: bool = False,
     quantize_llm: bool = False,
+    allow_random_weights: bool = False,
 ):
     """Load a pretrained MERV -> (vidlm, params) [+ model_cfg].
 
     ``quantize_llm=True`` converts the LLM kernels to the weight-only int8
     serving layout (see merv_tpu/nn/quantization.py) — halves weight HBM, the
     mode that fits full llama2-7b decode on a single v5e.
+
+    ``allow_random_weights=True`` permits random-init fallback for missing
+    tower/base-LLM weights (structure + throughput testing only). The default
+    raises so eval runs can never silently produce garbage accuracies.
     """
     if os.path.isdir(model_id_or_path):
         run_dir = Path(model_id_or_path)
@@ -151,7 +164,7 @@ def load_vid(
     params: Dict[str, Any] = {
         "projectors": restored["projectors"],
         "feature_fusion": restored.get("feature_fusion", {}),
-        "video_backbones": _load_tower_params(vidlm, key),
+        "video_backbones": _load_tower_params(vidlm, key, allow_random_weights),
     }
     if "llm_backbone" in restored:
         params["llm_backbone"] = restored["llm_backbone"]
@@ -163,7 +176,16 @@ def load_vid(
             assert llm_dir, "set MERV_TPU_LLM_DIR to a local safetensors dir for base LLM weights"
             params["llm_backbone"] = llm_backbone.load_state_dict(load_safetensors_dir(Path(llm_dir)))
         except Exception as e:
-            overwatch.info(f"Base LLM weights unavailable ({type(e).__name__}); random init", ctx_level=1)
+            if not allow_random_weights:
+                raise RuntimeError(
+                    f"Base LLM weights unavailable ({type(e).__name__}: {e}). Set MERV_TPU_LLM_DIR "
+                    f"to a local safetensors dir, or pass allow_random_weights=True for "
+                    f"structure/speed testing (outputs will be meaningless)."
+                ) from e
+            overwatch.warning(
+                f"Base LLM weights unavailable ({type(e).__name__}); RANDOM init — outputs are "
+                f"meaningless (structure/speed testing only)", ctx_level=1
+            )
             params["llm_backbone"] = llm_backbone.init(key)
 
     if quantize_llm:

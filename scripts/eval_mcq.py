@@ -55,7 +55,8 @@ class EvalConfig:
     num_chunks: int = 1                             # shard-parallel eval
     chunk_idx: int = 0
     batch_size: int = 1                             # questions per prefill (TPU batching win)
-    strategy: str = "naive"                         # answer-extraction strategy
+    strategy: str = "naive"                         # answer-extraction: naive | likelihood
+    allow_random_weights: bool = False              # random-init fallback (speed tests ONLY)
     filename_question: str = "test_q"
     filename_answer: str = "test_a"
     eval_data_root: Path = Path("eval_data")
@@ -106,14 +107,11 @@ def evaluate(cfg: EvalConfig) -> None:
     answers = json.load(open(benchmark_dir / f"{cfg.filename_answer}.json"))
     answers_dict = {item["question_id"]: item for item in answers}
 
-    # --- load model ---
+    # --- load model (random-weight fallback must be explicit: garbage
+    # accuracies that look like results are worse than a crash) ---
     local_run = Path("runs") / str(cfg.model_path)
-    if local_run.exists():
-        vidlm, params, model_cfg = load_vid(str(local_run), get_model_cfg=True)
-    elif os.path.isdir(str(cfg.model_path)):
-        vidlm, params, model_cfg = load_vid(str(cfg.model_path), get_model_cfg=True)
-    else:
-        vidlm, params, model_cfg = load_vid(str(cfg.model_path), get_model_cfg=True)
+    src = str(local_run) if local_run.exists() else str(cfg.model_path)
+    vidlm, params, model_cfg = load_vid(src, get_model_cfg=True, allow_random_weights=cfg.allow_random_weights)
 
     tag = f"{cfg.eval_dataset}_{cfg.strategy}_pred_{cfg.num_chunks}"
     temp_output_path = result_dir / f"{tag}_{cfg.chunk_idx}.jsonl"

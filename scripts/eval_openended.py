@@ -50,6 +50,8 @@ class EvalConfig:
     eval_data_root: Path = Path("eval_data")
     eval_result_root: Path = Path("eval_result")
     skip_flops: bool = False
+    batch_size: int = 1                             # questions per prefill (TPU batching win)
+    allow_random_weights: bool = False              # random-init fallback (speed tests ONLY)
     # fmt: on
 
 
@@ -70,7 +72,7 @@ def evaluate(cfg: EvalConfig) -> None:
 
     local_run = Path("runs") / str(cfg.model_path)
     src = str(local_run) if local_run.exists() else str(cfg.model_path)
-    vidlm, params, model_cfg = load_vid(src, get_model_cfg=True)
+    vidlm, params, model_cfg = load_vid(src, get_model_cfg=True, allow_random_weights=cfg.allow_random_weights)
 
     # FLOPs/params once per model (reference :96-100)
     flops_path = result_dir / "flops.json"
@@ -107,35 +109,57 @@ def evaluate(cfg: EvalConfig) -> None:
         done_lines = [done_dict[q["question_id"]] for q in questions if q["question_id"] in done_dict]
         questions = [q for q in questions if q["question_id"] not in done_dict]
 
+    def _prep(question):
+        prompt_builder = vidlm.llm_backbone.prompt_builder_fn(model_family="merv")
+        prompt_builder.add_turn(role="human", message=question["question"])
+        clip = dict(
+            clip_start_sec=question["time"][0] if "time" in question else 0.0,
+            clip_end_sec=question["time"][1] if "time" in question else None,
+            end_frame=question.get("end_frame"),
+        )
+        return prompt_builder.get_prompt(), clip
+
+    def _generate_one(question, prompt_text, clip):
+        video_name = _resolve_video(benchmark_dir, question["video_name"])
+        return vidlm.generate(
+            params, video_name, prompt_text,
+            do_sample=cfg.do_sample, temperature=cfg.temperature,
+            max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
+            num_frames=model_cfg.num_frames, **clip,
+        )
+
     with open(temp_output_path, "w") as f:
         for line in done_lines:  # re-emit carried-over results
             f.write(line if line.endswith("\n") else line + "\n")
-        for i, question in enumerate(questions):
-            try:
-                prompt_builder = vidlm.llm_backbone.prompt_builder_fn(model_family="merv")
-                prompt_builder.add_turn(role="human", message=question["question"])
-                prompt_text = prompt_builder.get_prompt()
-
-                video_name = _resolve_video(benchmark_dir, question["video_name"])
-                generated_text = vidlm.generate(
-                    params,
-                    video_name,
-                    prompt_text,
-                    do_sample=cfg.do_sample,
-                    temperature=cfg.temperature,
-                    max_new_tokens=cfg.max_new_tokens,
-                    min_length=cfg.min_length,
-                    num_frames=model_cfg.num_frames,
-                    clip_start_sec=question["time"][0] if "time" in question else 0.0,
-                    clip_end_sec=question["time"][1] if "time" in question else None,
-                    end_frame=question.get("end_frame"),
-                )
-                out = {**question, **answers_dict[question["question_id"]]}
-                out["pred"] = generated_text
-                f.write(json.dumps(out) + "\n")
-            except Exception as e:  # per-video fault tolerance (reference :169-188)
-                overwatch.error(f"Failed on {question.get('question_id')}: {type(e).__name__}: {e}")
-            if i % 100 == 99:
+        for start in range(0, len(questions), cfg.batch_size):
+            group = questions[start : start + cfg.batch_size]
+            prepped = [_prep(q) for q in group]
+            preds = [None] * len(group)
+            if cfg.batch_size > 1:
+                # one prefill + one decode program per group (same TPU batching
+                # win as eval_mcq); video failures fall back to the per-item
+                # path below so one corrupt file never drops the whole group
+                try:
+                    video_names = [_resolve_video(benchmark_dir, q["video_name"]) for q in group]
+                    preds = vidlm.generate_batch(
+                        params, video_names, [p[0] for p in prepped],
+                        num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
+                        do_sample=cfg.do_sample, temperature=cfg.temperature,
+                        clip_args=[p[1] for p in prepped],
+                    )
+                except Exception as e:
+                    overwatch.error(f"Batched generate failed ({type(e).__name__}: {e}); retrying per-item")
+                    preds = [None] * len(group)
+            for question, (prompt_text, clip), pred in zip(group, prepped, preds):
+                try:
+                    if pred is None:  # bsz-1 path or batch-failure retry
+                        pred = _generate_one(question, prompt_text, clip)
+                    out = {**question, **answers_dict[question["question_id"]]}
+                    out["pred"] = pred
+                    f.write(json.dumps(out) + "\n")
+                except Exception as e:  # per-video fault tolerance (reference :169-188)
+                    overwatch.error(f"Failed on {question.get('question_id')}: {type(e).__name__}: {e}")
+            if start % 100 >= 100 - cfg.batch_size:
                 f.flush()
     os.rename(temp_output_path, done_output_path)
 

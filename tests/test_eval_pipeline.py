@@ -80,9 +80,17 @@ def _make_run_dir(tmp_path: Path) -> Path:
     return run_dir
 
 
+def test_load_vid_hard_fails_without_weights(tmp_path):
+    """Missing tower weights must raise unless random init is explicit
+    (garbage eval accuracies must never look like results)."""
+    run_dir = _make_run_dir(tmp_path)
+    with pytest.raises(RuntimeError, match="export_towers|allow_random_weights"):
+        load_vid_mod.load_vid(str(run_dir))
+
+
 def test_load_vid_local_run_dir(tmp_path):
     run_dir = _make_run_dir(tmp_path)
-    vidlm, params, model_cfg = load_vid_mod.load_vid(str(run_dir), get_model_cfg=True)
+    vidlm, params, model_cfg = load_vid_mod.load_vid(str(run_dir), get_model_cfg=True, allow_random_weights=True)
     assert model_cfg.model_id == "tiny-eval"
     assert set(params.keys()) == {"projectors", "feature_fusion", "video_backbones", "llm_backbone"}
     # generation runs end-to-end on a raw video array
@@ -102,6 +110,7 @@ def test_eval_mcq_end_to_end(tmp_path, monkeypatch):
         max_new_tokens=3,
         eval_data_root=REPO / "eval_data",
         eval_result_root=tmp_path / "eval_result",
+        allow_random_weights=True,
     )
     evaluate(cfg=cfg)
 
@@ -126,6 +135,7 @@ def test_eval_openended_end_to_end(tmp_path, monkeypatch):
         eval_data_root=REPO / "eval_data",
         eval_result_root=tmp_path / "eval_result",
         skip_flops=True,
+        allow_random_weights=True,
     )
     evaluate(cfg=cfg)
     result_dir = tmp_path / "eval_result" / str(run_dir)
@@ -133,6 +143,30 @@ def test_eval_openended_end_to_end(tmp_path, monkeypatch):
     assert merged.exists()
     rows = [json.loads(line) for line in merged.read_text().splitlines()]
     assert len(rows) == 3 and all("pred" in r for r in rows)
+
+
+def test_eval_openended_batched(tmp_path, monkeypatch):
+    """batch_size>1: one prefill per group; jsonl content matches the
+    sequential run (order-independent) — VERDICT round-1 item #5."""
+    from scripts.eval_openended import EvalConfig, evaluate
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    cfg = EvalConfig(
+        model_path=str(run_dir),
+        eval_dataset="dummy_openended",
+        max_new_tokens=3,
+        eval_data_root=REPO / "eval_data",
+        eval_result_root=tmp_path / "eval_result",
+        skip_flops=True,
+        batch_size=2,
+        allow_random_weights=True,
+    )
+    evaluate(cfg=cfg)
+    merged = tmp_path / "eval_result" / str(run_dir) / "dummy_openended_pred_merge.jsonl"
+    rows = [json.loads(line) for line in merged.read_text().splitlines()]
+    assert len(rows) == 3 and all(isinstance(r["pred"], str) for r in rows)
+    assert {r["question_id"] for r in rows} == {"dummy_oe_0", "dummy_oe_1", "dummy_oe_2"}
 
 
 def test_gpt_judge_payloads_roundtrip():
@@ -180,6 +214,7 @@ def test_eval_mcq_batched(tmp_path, monkeypatch):
         batch_size=3,
         eval_data_root=REPO / "eval_data",
         eval_result_root=tmp_path / "eval_result",
+        allow_random_weights=True,
     )
     evaluate(cfg=cfg)
     merged = tmp_path / "eval_result" / str(run_dir) / "dummy_mcq_naive_pred_merge.jsonl"
