@@ -105,10 +105,34 @@ def convert_projector(module, state: Mapping[str, Any]) -> PyTree:
             "projector": _mlp_projector(_sub(state, "projector"), module.projector),
         }
     if isinstance(module, ConvolutionalProjector):
-        raise NotImplementedError(
-            "ConvolutionalProjector weight import requires bitwise timm RegStage parity; "
-            "no released MERV checkpoint uses the conv projector."
-        )
+        # torch Sequential: [RegStage, AdaptiveAvgPool2d, RegStage]
+        # (reference nn_utils.py:269-274); timm RegStage blocks named b1..bN
+        def conv_bn(pre: str) -> Dict[str, Any]:
+            return {
+                "conv": {"kernel": _np(state[f"{pre}.conv.weight"])},
+                "bn": _layernorm(state, f"{pre}.bn"),
+            }
+
+        def reg_block(pre: str) -> Dict[str, Any]:
+            blk = {
+                "conv1": conv_bn(f"{pre}.conv1"),
+                "conv2": conv_bn(f"{pre}.conv2"),
+                "se": {
+                    "fc1": {"kernel": _np(state[f"{pre}.se.fc1.weight"]), "bias": _np(state[f"{pre}.se.fc1.bias"])},
+                    "fc2": {"kernel": _np(state[f"{pre}.se.fc2.weight"]), "bias": _np(state[f"{pre}.se.fc2.bias"])},
+                },
+                "conv3": conv_bn(f"{pre}.conv3"),
+            }
+            if f"{pre}.downsample.conv.weight" in state:
+                blk["downsample"] = conv_bn(f"{pre}.downsample")
+            return blk
+
+        out: Dict[str, Any] = {}
+        for stage, seq_idx in (("stage1", 0), ("stage2", 2)):
+            for i in range(module.block_depth):
+                out[f"{stage}_{i}"] = reg_block(f"convolution_pooling.{seq_idx}.b{i + 1}")
+        out["projector"] = _mlp_projector(_sub(state, "projector"), module.projector)
+        return out
     raise NotImplementedError(type(module))
 
 

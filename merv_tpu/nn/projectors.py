@@ -419,40 +419,73 @@ class _LayerNorm2d(Module):
 
 @dataclass(frozen=True)
 class _RegBlock(Module):
-    """RegNet-Y style bottleneck (stride 1): 1x1 -> depthwise-grouped 3x3 -> 1x1,
-    LayerNorm2d + SiLU, residual. Functional re-implementation of the timm
-    ``RegStage`` blocks used by the Honeybee C-Abstractor (reference
-    nn_utils.py:249-303); structure matches timm's Bottleneck with
-    group_size=1 (per-channel groups), without SE.
+    """timm RegNet ``Bottleneck`` (stride 1) exactly as the Honeybee
+    C-Abstractor configures it (reference nn_utils.py:265:
+    ``RegStage(..., act_layer=nn.SiLU, norm_layer=LayerNorm2d)`` with timm
+    defaults ``bottle_ratio=1, group_size=1, se_ratio=0.25,
+    downsample='conv1x1'``):
+
+      conv1: 1x1 conv -> LayerNorm2d -> SiLU
+      conv2: 3x3 conv, groups == channels (group_size=1) -> LayerNorm2d -> SiLU
+      se:    squeeze-excite, rd_channels = round(in_chs * 0.25), SiLU gate act
+      conv3: 1x1 conv -> LayerNorm2d (apply_act=False)
+      downsample (in != out): 1x1 conv -> LayerNorm2d (no act)
+      out = SiLU(conv_path + downsample(x))
+
+    Param keys mirror the timm state-dict layout (``conv1.conv``/``conv1.bn``,
+    ``se.fc1``/``se.fc2``, ``downsample.conv``/``downsample.bn``) so
+    checkpoint import in ckpt_import.py is a direct key map.
     """
 
     in_dim: int
     out_dim: int
     param_dtype: Any = jnp.float32
 
+    @property
+    def rd_dim(self) -> int:
+        # timm Bottleneck: se_channels = int(round(in_chs * se_ratio))
+        return max(1, int(round(self.in_dim * 0.25)))
+
     def init(self, key: Array) -> PyTree:
-        ks = jax.random.split(key, 4)
-        d_in, d_out = self.in_dim, self.out_dim
+        ks = jax.random.split(key, 6)
+        d_in, d_out, rd = self.in_dim, self.out_dim, self.rd_dim
         ln = _LayerNorm2d(d_out, self.param_dtype)
+
+        def bias(k, n, fan_in):
+            return kaiming_uniform(k, (n,), self.param_dtype, fan_in)  # torch conv bias: U(±1/sqrt(fan_in))
+
         p = {
-            "conv1": {"kernel": _conv_init(ks[0], (d_out, d_in, 1, 1), self.param_dtype)},
-            "norm1": ln.init(ks[0]),
-            "conv2": {"kernel": _conv_init(ks[1], (d_out, 1, 3, 3), self.param_dtype)},
-            "norm2": ln.init(ks[1]),
-            "conv3": {"kernel": _conv_init(ks[2], (d_out, d_out, 1, 1), self.param_dtype)},
-            "norm3": ln.init(ks[2]),
+            "conv1": {"conv": {"kernel": _conv_init(ks[0], (d_out, d_in, 1, 1), self.param_dtype)}, "bn": ln.init(ks[0])},
+            "conv2": {"conv": {"kernel": _conv_init(ks[1], (d_out, 1, 3, 3), self.param_dtype)}, "bn": ln.init(ks[1])},
+            "se": {
+                "fc1": {"kernel": _conv_init(ks[2], (rd, d_out, 1, 1), self.param_dtype), "bias": bias(ks[2], rd, d_out)},
+                "fc2": {"kernel": _conv_init(ks[3], (d_out, rd, 1, 1), self.param_dtype), "bias": bias(ks[3], d_out, rd)},
+            },
+            "conv3": {"conv": {"kernel": _conv_init(ks[4], (d_out, d_out, 1, 1), self.param_dtype)}, "bn": ln.init(ks[4])},
         }
         if d_in != d_out:
-            p["downsample"] = {"kernel": _conv_init(ks[3], (d_out, d_in, 1, 1), self.param_dtype)}
+            p["downsample"] = {
+                "conv": {"kernel": _conv_init(ks[5], (d_out, d_in, 1, 1), self.param_dtype)},
+                "bn": ln.init(ks[5]),
+            }
         return p
 
     def __call__(self, params: PyTree, x: Array) -> Array:
         ln = _LayerNorm2d(self.out_dim, self.param_dtype)
-        short = x if "downsample" not in params else _conv2d(x, params["downsample"]["kernel"], None)
-        y = jax.nn.silu(ln(params["norm1"], _conv2d(x, params["conv1"]["kernel"], None)))
-        y = jax.nn.silu(ln(params["norm2"], _conv2d(y, params["conv2"]["kernel"], None, groups=self.out_dim, padding=1)))
-        y = ln(params["norm3"], _conv2d(y, params["conv3"]["kernel"], None))
-        return jax.nn.silu(short + y)
+        if "downsample" in params:
+            short = ln(params["downsample"]["bn"], _conv2d(x, params["downsample"]["conv"]["kernel"], None))
+        else:
+            short = x
+        y = jax.nn.silu(ln(params["conv1"]["bn"], _conv2d(x, params["conv1"]["conv"]["kernel"], None)))
+        y = jax.nn.silu(
+            ln(params["conv2"]["bn"], _conv2d(y, params["conv2"]["conv"]["kernel"], None, groups=self.out_dim, padding=1))
+        )
+        s = y.mean(axis=(2, 3), keepdims=True)  # SE squeeze over H, W
+        s = jax.nn.silu(_conv2d(s, params["se"]["fc1"]["kernel"], params["se"]["fc1"]["bias"]))
+        s = jax.nn.sigmoid(_conv2d(s, params["se"]["fc2"]["kernel"], params["se"]["fc2"]["bias"]))
+        y = y * s
+        y = ln(params["conv3"]["bn"], _conv2d(y, params["conv3"]["conv"]["kernel"], None))
+        return jax.nn.silu(y + short)
 
 
 @dataclass(frozen=True)
