@@ -134,9 +134,22 @@ def load_stage_weights(model: Any, params: PyTree, stage: str, run_dir: Path, pr
 
     Returns ``params`` with the appropriate modules replaced from checkpoint.
     """
-    assert stage in {"align", "full-align", "finetune", "full-finetune", "second_finetune"}, (
+    assert stage in {"align", "second_align", "full-align", "finetune", "full-finetune", "second_finetune"}, (
         f"Stage {stage} is not supported!"
     )
+    if stage == "second_align":
+        # second align round: continue projector/fusion training from an
+        # explicit checkpoint (align semantics otherwise; the stage string is
+        # accepted by freeze_backbones/materialize, merv.py:536)
+        if pretrained_checkpoint is not None:
+            restored = load_checkpoint(Path(pretrained_checkpoint))["model"]
+            new_params = dict(params)
+            new_params["projectors"] = restored["projectors"]
+            if "feature_fusion" in restored:
+                new_params["feature_fusion"] = restored["feature_fusion"]
+            return new_params
+        overwatch.info("Stage `second_align` without pretrained_checkpoint =>> fresh projector init", ctx_level=1)
+        return params
     if model.arch_specifier.startswith("no-align"):
         overwatch.info(f"MERV with arch_specifier = {model.arch_specifier!r} does not require pretrained weights!", ctx_level=1)
         return params
