@@ -409,6 +409,36 @@ class MERV(VidLM):
         """
         import numpy as np
 
+        input_ids, attention_mask, vids, is_mm = self._prepare_batch_inputs(
+            videos, prompt_texts, num_frames, clip_args
+        )
+
+        tokens = self.generate_ids(
+            params, jnp.asarray(input_ids), jnp.asarray(attention_mask), vids,
+            is_multimodal=jnp.asarray(is_mm),
+            max_new_tokens=max_new_tokens, do_sample=do_sample,
+            temperature=temperature, top_p=top_p, top_k=top_k, min_length=min_length, rng=rng,
+        )
+        stop = self.llm_backbone.stop_token_id
+        tok = self.llm_backbone.tokenizer
+        outs = []
+        for row in np.asarray(tokens):
+            row = row.tolist()
+            if stop in row:
+                row = row[: row.index(stop)]
+            outs.append(tok.decode(row, skip_special_tokens=True).strip())
+        return outs
+
+    def _prepare_batch_inputs(
+        self,
+        videos: Sequence[Any],
+        prompt_texts: Sequence[str],
+        num_frames: Optional[List[int]] = None,
+        clip_args: Optional[Sequence[Dict[str, Any]]] = None,
+    ):
+        """Tokenize + right-pad prompts, decode + per-encoder transform videos."""
+        import numpy as np
+
         from merv_tpu.preprocessing.transforms import subsample_frames
 
         if num_frames is None:
@@ -445,21 +475,44 @@ class MERV(VidLM):
                 per_encoder[e].append(vb.get_video_transform()(jnp.asarray(frames)))
             is_mm.append(True)
         vids = [jnp.stack(v) for v in per_encoder]
+        return jnp.asarray(input_ids), jnp.asarray(attention_mask), vids, jnp.asarray(is_mm)
 
-        tokens = self.generate_ids(
-            params, jnp.asarray(input_ids), jnp.asarray(attention_mask), vids,
-            is_multimodal=jnp.asarray(is_mm),
-            max_new_tokens=max_new_tokens, do_sample=do_sample,
-            temperature=temperature, top_p=top_p, top_k=top_k, min_length=min_length, rng=rng,
+    def score_options(
+        self,
+        params: PyTree,
+        videos: Sequence[Any],
+        prompt_texts: Sequence[str],
+        option_strings: Sequence[Sequence[str]],
+        num_frames: Optional[List[int]] = None,
+        clip_args: Optional[Sequence[Dict[str, Any]]] = None,
+    ) -> List[str]:
+        """Likelihood MCQ readout: one batched prefill, next-token logits at the
+        last prompt position restricted to single-token candidates.
+
+        The reference builds these readout token ids (``string2idx``,
+        reference merv.py:239-244) but never consumes them; here they power
+        ``eval_mcq --strategy likelihood`` — no decode loop at all, so MCQ
+        eval costs exactly one prefill per batch.
+        """
+        import numpy as np
+
+        input_ids, attention_mask, vids, is_mm = self._prepare_batch_inputs(
+            videos, prompt_texts, num_frames, clip_args
         )
-        stop = self.llm_backbone.stop_token_id
-        outs = []
-        for row in np.asarray(tokens):
-            row = row.tolist()
-            if stop in row:
-                row = row[: row.index(stop)]
-            outs.append(tok.decode(row, skip_special_tokens=True).strip())
-        return outs
+        out = self.forward(params, input_ids, attention_mask, vids, is_multimodal=is_mm)
+        mask = out["attention_mask"]
+        last = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
+        rows = np.asarray(
+            out["logits"][jnp.arange(input_ids.shape[0]), last].astype(jnp.float32)
+        )  # [B, V] next-token logits
+        picks = []
+        V = rows.shape[1]
+        for b, options in enumerate(option_strings):
+            ids = [self.string2idx[s] for s in options]
+            # ids beyond the LM head (tiny test vocabs) score -inf
+            scores = [rows[b, i] if i < V else -np.inf for i in ids]
+            picks.append(options[int(np.argmax(scores))])
+        return picks
 
     def generate(
         self,

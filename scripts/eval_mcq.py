@@ -65,8 +65,13 @@ class EvalConfig:
 
 
 def prepare_mcqa_question(sample, gt_answer, cfg):
-    """Letter-choice MCQ prompt (reference eval_mcq.py:54-71)."""
-    if cfg.strategy == "naive":
+    """Letter-choice MCQ prompt (reference eval_mcq.py:54-71).
+
+    Returns (prompt, answer_char, option_letters). ``likelihood`` uses the
+    same prompt but reads the answer from next-token logits over the letter
+    tokens instead of decoding (MERV.score_options) — zero decode steps.
+    """
+    if cfg.strategy in ("naive", "likelihood"):
         question = sample["question"]
         choice_list = sample["options"]
         mapping = ["A. ", "B. ", "C. ", "D. ", "E. "]
@@ -78,7 +83,7 @@ def prepare_mcqa_question(sample, gt_answer, cfg):
             f"Write your answer as only one of {letters} and nothing else.\n\n    {choices}"
         )
         answer = mapping[gt_answer["answer_id"]][0]
-        return prompt, answer
+        return prompt, answer, [mapping[c][0] for c in range(num_answers)]
     raise ValueError(f"strategy {cfg.strategy} not supported")
 
 
@@ -122,7 +127,9 @@ def evaluate(cfg: EvalConfig) -> None:
 
     def _prep(question):
         prompt_builder = vidlm.llm_backbone.prompt_builder_fn(model_family="merv")
-        question_text, answer_char = prepare_mcqa_question(question, answers_dict[question["question_id"]], cfg)
+        question_text, answer_char, letters = prepare_mcqa_question(
+            question, answers_dict[question["question_id"]], cfg
+        )
         if "_token" in cfg.eval_dataset:
             question_text = "<video>\n" + question_text
         prompt_builder.add_turn(role="human", message=question_text)
@@ -131,7 +138,7 @@ def evaluate(cfg: EvalConfig) -> None:
             clip_end_sec=question["time"][1] if "time" in question else None,
             end_frame=question.get("end_frame"),
         )
-        return prompt_builder.get_prompt(), answer_char, question_text, clip
+        return prompt_builder.get_prompt(), answer_char, question_text, clip, letters
 
     with open(temp_output_path, "w") as f:
         for start in range(0, len(questions), cfg.batch_size):
@@ -139,8 +146,14 @@ def evaluate(cfg: EvalConfig) -> None:
             prepped = [_prep(q) for q in group]
             video_names = [_resolve_video(benchmark_dir, q["video_name"]) for q in group]
 
-            if cfg.batch_size == 1:
-                q, (prompt_text, answer_char, question_text, clip) = group[0], prepped[0]
+            if cfg.strategy == "likelihood":
+                # one batched prefill, answer read from letter-token logits
+                preds = vidlm.score_options(
+                    params, video_names, [p[0] for p in prepped], [p[4] for p in prepped],
+                    num_frames=model_cfg.num_frames, clip_args=[p[3] for p in prepped],
+                )
+            elif cfg.batch_size == 1:
+                q, (prompt_text, answer_char, question_text, clip, _) = group[0], prepped[0]
                 preds = [
                     vidlm.generate(
                         params, video_names[0], prompt_text,
@@ -157,7 +170,7 @@ def evaluate(cfg: EvalConfig) -> None:
                     clip_args=[p[3] for p in prepped],
                 )
 
-            for question, (_, answer_char, question_text, _), pred in zip(group, prepped, preds):
+            for question, (_, answer_char, question_text, _, _), pred in zip(group, prepped, preds):
                 out = {**question, **answers_dict[question["question_id"]]}
                 out["pred"] = pred
                 out["question_text"] = question_text

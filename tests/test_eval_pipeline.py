@@ -220,3 +220,31 @@ def test_eval_mcq_batched(tmp_path, monkeypatch):
     merged = tmp_path / "eval_result" / str(run_dir) / "dummy_mcq_naive_pred_merge.jsonl"
     rows = [json.loads(line) for line in merged.read_text().splitlines()]
     assert len(rows) == 6 and all(isinstance(r["pred"], str) for r in rows)
+
+
+def test_eval_mcq_likelihood_strategy(tmp_path, monkeypatch):
+    """--strategy likelihood: answers come from letter-token logits at the
+    last prompt position (MERV.score_options) — zero decode steps, preds are
+    always valid option letters."""
+    from scripts.eval_mcq import EvalConfig, evaluate
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    cfg = EvalConfig(
+        model_path=str(run_dir),
+        eval_dataset="dummy_mcq",
+        strategy="likelihood",
+        batch_size=2,
+        eval_data_root=REPO / "eval_data",
+        eval_result_root=tmp_path / "eval_result",
+        allow_random_weights=True,
+    )
+    evaluate(cfg=cfg)
+    result_dir = tmp_path / "eval_result" / str(run_dir)
+    merged = result_dir / "dummy_mcq_likelihood_pred_merge.jsonl"
+    rows = [json.loads(line) for line in merged.read_text().splitlines()]
+    assert len(rows) == 6
+    for r in rows:
+        n = r["num_option"]
+        assert r["pred"] in [chr(ord("A") + i) for i in range(n)], r["pred"]
+    assert (result_dir / "dummy_mcq_likelihood_gpt.json").exists()
