@@ -19,19 +19,36 @@ import numpy as np
 _HERE = Path(__file__).resolve().parent
 _SO = _HERE / "libvideodec.so"
 _SRC = _HERE / "videodec.cpp"
+_HASH = _HERE / "libvideodec.so.srchash"
 
 _LIBS = ["-lavformat", "-lavcodec", "-lavutil", "-lswscale"]
+_CMD = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
+
+
+def _src_hash() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(" ".join(_CMD + _LIBS).encode())
+    h.update(_SRC.read_bytes())
+    return h.hexdigest()
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(_SO), str(_SRC)] + _LIBS
+    cmd = _CMD + ["-o", str(_SO), str(_SRC)] + _LIBS
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    _HASH.write_text(_src_hash())
 
 
 def _load() -> ctypes.CDLL:
     if os.environ.get("MERV_TPU_NO_NATIVE", "0") == "1":
         raise ImportError("native decode disabled via MERV_TPU_NO_NATIVE")
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    # The .so is never committed (see .gitignore); it is built from the
+    # reviewed videodec.cpp on first import. The sidecar hash records the
+    # exact source + flags the binary came from — mtime comparison is
+    # useless on a fresh clone (checkout stamps everything identically) and
+    # would happily dlopen a stale or foreign binary.
+    if not _SO.exists() or not _HASH.exists() or _HASH.read_text().strip() != _src_hash():
         _build()
     lib = ctypes.CDLL(str(_SO))
     lib.vr_open.restype = ctypes.c_void_p

@@ -7,6 +7,7 @@ sources the reference uses; runs require network access.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tarfile
 import zipfile
@@ -90,17 +91,29 @@ def download_with_progress(url: str, download_dir: Path, chunk_size_bytes: int =
     return dest
 
 
+def _safe_member(name: str, dest: Path) -> None:
+    """Reject members that would escape dest (path traversal, CVE-2007-4559
+    class — these archives come from third-party dataset hosts)."""
+    resolved = (dest / name).resolve()
+    if not str(resolved).startswith(str(Path(dest).resolve()) + os.sep):
+        raise ValueError(f"archive member escapes extraction dir: {name!r}")
+
+
 def extract_with_progress(archive_path: Path, download_dir: Path, extract_type: str, cleanup: bool = False) -> Path:
     overwatch.info(f"Extracting {archive_path}")
     if str(archive_path).endswith(".zip"):
         with zipfile.ZipFile(archive_path) as zf:
             names = zf.namelist()
+            for n in names:
+                _safe_member(n, Path(download_dir))
             zf.extractall(download_dir)
             out = Path(download_dir) / names[0].split("/")[0]
     elif str(archive_path).endswith((".tar.gz", ".tgz", ".tar")):
         with tarfile.open(archive_path) as tf:
             names = tf.getnames()
-            tf.extractall(download_dir)
+            # "data" filter (py3.12+): strips absolute paths, blocks .. escapes,
+            # device nodes and unsafe links
+            tf.extractall(download_dir, filter="data")
             out = Path(download_dir) / names[0].split("/")[0]
     else:
         raise ValueError(f"cannot extract {archive_path}")
