@@ -45,12 +45,14 @@ def build_model(num_llm_layers: int, tiny: bool = False):
         from merv_tpu.models.backbones.video.dinov2_video import DinoV2VideoBackbone
         from merv_tpu.models.backbones.video.vit import tiny_vit_config
 
-        towers = []
-        for _ in range(4):
-            bb = DinoV2VideoBackbone("dinov2-video-all-tokens", "resize-naive", default_image_size=32, num_frames=4)
-            t = tiny_vit_config(num_cls_tokens=1, num_register_tokens=4, use_layerscale=True)
-            type(bb).vit_config = property(lambda self, _t=t: dc.replace(_t))
-            towers.append(bb)
+        t = tiny_vit_config(num_cls_tokens=1, num_register_tokens=4, use_layerscale=True)
+        TinyDino = type("TinyDino", (DinoV2VideoBackbone,), {
+            "vit_config": property(lambda self, _t=t: dc.replace(_t)),
+        })
+        towers = [
+            TinyDino("dinov2-video-all-tokens", "resize-naive", default_image_size=32, num_frames=4)
+            for _ in range(4)
+        ]
         return get_vidlm(
             "merv-bench-tiny", "no-align+3davg+linear", "cross_attention_avg_lq",
             towers, tiny_llm_backbone(), projector_token_length=4, visual_feature_length=16,
@@ -109,15 +111,23 @@ def make_bench_params(shapes, int8: bool = False):
     return make()
 
 
-def run_bench(model, batch: int, text_len: int, loop_iters: int = 8, no_chain: bool = False) -> float:
-    """videos/sec via a serially-dependent on-device loop.
+def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
+    """videos/sec via async-dispatch difference timing.
 
-    The axon tunnel to the chip has ~25ms RTT per dispatch and
-    ``block_until_ready`` does not synchronize through it, so wall-clock is
-    measured by fetching ONE scalar after K chained prefill iterations inside
-    a single jitted ``lax.fori_loop`` (each iteration's input depends on the
-    previous output — nothing can be hoisted or overlapped), and subtracting
-    the measured 1-iteration time to cancel the fixed RTT.
+    The axon tunnel to the chip has ~30ms RTT per synchronous fetch and
+    ``block_until_ready`` does not synchronize through it — but dispatches
+    pipeline: K back-to-back dispatches of one compiled program execute
+    serially on the device stream while the host queues ahead. Timing
+    ``K2`` iterations and ``K1`` iterations and taking the difference
+    cancels the fixed RTT/fetch overhead exactly:
+
+        per_iter = (t(K2) - t(K1)) / (K2 - K1)
+
+    (Measured on this tunnel: a 4096^3 matmul times at ~0.77ms marginal =
+    ~178 TFLOPs, right at v5e bf16 peak — the method recovers true device
+    time. The previous serial-chain ``fori_loop`` variant hit remote-compiler
+    limits at full model depth and its single-shot fallback under-reported
+    throughput by ~8%.)
     """
     # Materialize parameters directly in bf16 without a transient fp32 tree
     # (random values don't change matmul cost; this is a throughput bench).
@@ -132,8 +142,7 @@ def run_bench(model, batch: int, text_len: int, loop_iters: int = 8, no_chain: b
         for vb in model.video_backbones
     ]
 
-    from functools import partial
-
+    @jax.jit
     def prefill_logits(params, input_ids, attention_mask, vids):
         """Serving prefill: towers -> fusion -> splice -> decoder, lm_head on
         the last position only (what generation actually runs)."""
@@ -147,47 +156,21 @@ def run_bench(model, batch: int, text_len: int, loop_iters: int = 8, no_chain: b
         )
         return logits[:, 0]
 
-    @partial(jax.jit, static_argnums=(4,))
-    def prefill_chain(params, input_ids, attention_mask, videos, iters):
-        def body(i, acc):
-            # serial dependency: perturb the first tower's input with the
-            # previous scalar so XLA cannot hoist the loop body
-            vids = [videos[0] + acc.astype(videos[0].dtype)] + list(videos[1:])
-            return prefill_logits(params, input_ids, attention_mask, vids).astype(jnp.float32).mean() * 1e-9
-
-        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
-
     def timed(iters: int) -> float:
         t0 = time.perf_counter()
-        float(prefill_chain(params, input_ids, attention_mask, videos, iters))
+        for _ in range(iters):
+            out = prefill_logits(params, input_ids, attention_mask, videos)
+        float(out[0, 0].astype(jnp.float32))  # one synchronous fetch drains the queue
         return time.perf_counter() - t0
 
-    timed(1)  # compile 1-iter variant + warmup
-    try:
-        if no_chain or os.environ.get("BENCH_NO_CHAIN", "0") == "1":
-            raise RuntimeError("chain disabled")
-        timed(loop_iters)  # compile K-iter variant
-        t1 = min(timed(1) for _ in range(2))
-        tk = min(timed(loop_iters) for _ in range(2))
-        per_iter = max((tk - t1) / (loop_iters - 1), 1e-9)
-    except Exception as e:
-        # The chained program can exceed the remote compiler's limits at full
-        # model depth; fall back to sequential single-shot timing with the
-        # measured dispatch round-trip subtracted.
-        print(f"bench: chain variant unavailable ({type(e).__name__}); sequential timing", file=sys.stderr)
-        rtt_probe = jax.jit(lambda x: x + 1)
-        float(rtt_probe(jnp.zeros(())))
-        rtt = min(_timeit(lambda: float(rtt_probe(jnp.zeros(())))) for _ in range(5))
-        t = min(timed(1) for _ in range(4))
-        per_iter = max(t - rtt, 1e-9)
-        print(f"bench: single-shot {t*1e3:.1f}ms, rtt {rtt*1e3:.1f}ms", file=sys.stderr)
+    timed(1)  # compile + warmup
+    timed(1)
+    k1, k2 = 2, max(loop_iters, 6)
+    t1 = min(timed(k1) for _ in range(3))
+    t2 = min(timed(k2) for _ in range(3))
+    per_iter = max((t2 - t1) / (k2 - k1), 1e-9)
+    print(f"bench: t({k1})={t1*1e3:.1f}ms t({k2})={t2*1e3:.1f}ms -> {per_iter*1e3:.1f}ms/prefill", file=sys.stderr)
     return batch / per_iter  # videos/sec
-
-
-def _timeit(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -195,7 +178,7 @@ def main() -> None:
     tiny = platform == "cpu" and os.environ.get("BENCH_FULL", "0") != "1"
 
     if tiny:
-        vps = run_bench(build_model(0, tiny=True), batch=2, text_len=16, iters=3)
+        vps = run_bench(build_model(0, tiny=True), batch=2, text_len=16, loop_iters=3)
         print(json.dumps({
             "metric": "videos/sec/chip merv-full 4-encoder prefill (tiny CPU proxy)",
             "value": round(vps, 3), "unit": "videos/sec", "vs_baseline": 0.0,
@@ -208,9 +191,7 @@ def main() -> None:
         configs = [(32, int(os.environ["BENCH_BATCH"]))] + configs
     for layers, batch in configs:
         try:
-            # full-depth chained programs exceed the remote compiler's limits;
-            # go straight to RTT-corrected sequential timing there
-            vps = run_bench(build_model(layers), batch=batch, text_len=64, loop_iters=4, no_chain=layers == 32)
+            vps = run_bench(build_model(layers), batch=batch, text_len=64, loop_iters=8)
             note = "" if layers == 32 else f" (llm depth {layers}/32)"
             print(json.dumps({
                 "metric": f"videos/sec/chip merv-full 4-encoder prefill{note}",

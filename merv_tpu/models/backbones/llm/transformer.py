@@ -189,6 +189,11 @@ class LlamaDecoder:
         m = self._modules()
 
         x = m["input_norm"](lp["input_norm"], h)
+        # NOTE on packing: concatenating q/k/v into one GEMM measures FASTER
+        # in isolation at narrow widths but SLOWER here — under lax.scan the
+        # concat materializes a fresh [D, 3D] buffer every layer (~2x extra
+        # weight HBM traffic; whole-model bench regressed 445 -> 473 ms).
+        # Separate GEMMs read the scanned weights in place. Measured v5e.
         q = m["q_proj"](lp["attn"]["q_proj"], x).reshape(B, T, c.num_heads, c.head_dim)
         k = m["k_proj"](lp["attn"]["k_proj"], x).reshape(B, T, c.num_kv_heads, c.head_dim)
         v = m["v_proj"](lp["attn"]["v_proj"], x).reshape(B, T, c.num_kv_heads, c.head_dim)

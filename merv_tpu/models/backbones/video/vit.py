@@ -224,6 +224,10 @@ class VisionTransformer:
     # -- transformer -----------------------------------------------------------------
 
     def _mha(self, lp: PyTree, x: Array) -> Array:
+        # NOTE: packing q/k/v into one [D, 3D] GEMM measured NEUTRAL here and
+        # a regression in the LLM (the concat re-materializes scanned weights
+        # every layer — see transformer.py:_layer). Separate GEMMs read the
+        # stacked weights in place; measured on v5e 2026-08.
         c = self.cfg
         B, S, D = x.shape
         lin = Linear(D, D, param_dtype=c.param_dtype)

@@ -95,7 +95,10 @@ def attention_reference(
 
 def _flash_fwd_kernel(
     qoff_ref,  # [1] int32 in SMEM: absolute kv position of query row 0
-    mask_ref,  # [B, Tk] int32 (full array in VMEM; indexed by batch program id)
+    mask_ref,  # [B, n_kv_blocks, block_k] int32 in VMEM. The block axis is a
+    #            MAJOR axis on purpose: Mosaic crashes on dynamic slices along
+    #            the minor (lane) axis, so the kv-loop index selects a whole
+    #            [block_k] row instead of pl.ds-ing into a [Tk] vector.
     q_ref,  # [1, 1, Bq, D]
     k_ref,  # [1, 1, Tk, D]
     v_ref,  # [1, 1, Tk, D]
@@ -136,7 +139,7 @@ def _flash_fwd_kernel(
 
         valid = jnp.ones((bq, block_k), jnp.bool_)
         if use_mask:
-            kvm = mask_ref[batch_idx, pl.ds(kv_i * block_k, block_k)]
+            kvm = mask_ref[batch_idx, kv_i, :]
             valid = valid & (kvm > 0)[None, :]
         if causal:
             q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0) + q_block_idx * bq + q_offset
@@ -208,6 +211,8 @@ def _flash_forward(
         kv_mask_i = jnp.pad(kv_mask_i, ((0, 0), (0, Tk_p - Tk)))
     if Tq_p != Tq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Tq_p - Tq), (0, 0)))
+    # block axis major (see kernel docstring): [B, n_kv_blocks, block_k]
+    kv_mask_i = kv_mask_i.reshape(B, Tk_p // bk, bk)
 
     grid = (B, H, Tq_p // bq)
 
@@ -390,15 +395,20 @@ def attention(
     scale_val = (D ** -0.5) if scale is None else scale
     Tq, Tk = q.shape[2], k.shape[2]
 
+    # Measured dispatch rule (v5e, 2026-08; see BASELINE.md "attention
+    # kernel crossover"): XLA's fused attention wins every vision-tower shape
+    # (T 196-3137, D 64, any batch — e.g. ViViT [8,12,3137,64]: XLA 12.7ms vs
+    # ours 16.4ms) and short LLM prefill ([2,32,1088,128]: 1.69 vs 2.40ms);
+    # our kernel wins 4-8x once a single fusion's score tensor blows VMEM
+    # tiling — long-sequence D>=128 ([2,32,3072,128]: 2.39 vs 18.65ms). The
+    # kernel itself supports any D (zero-pads to the 128-lane tile) and any
+    # T via impl='pallas'; 'auto' dispatches it only where it measures faster.
     use_pallas = impl == "pallas" or (
         impl == "auto"
         and bias is None
         and can_use_pallas()
-        and Tq >= 128
-        and Tk >= 128
-        # any head_dim: the kernel zero-pads D to the 128-lane MXU tile, so
-        # the 64-dim vision towers (ViViT's 3137-token sequences especially)
-        # run flash instead of materializing [Tq, Tk] scores
+        and D % 128 == 0
+        and min(Tq, Tk) >= 2048
     )
     if use_pallas:
         assert bias is None, "additive bias is not supported by the Pallas kernel (use impl='xla')"
