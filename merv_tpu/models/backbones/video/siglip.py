@@ -47,10 +47,14 @@ class SiglipVideoBackbone(VideoBackbone):
         if "all-tokens" in video_backbone_id:
             # timm SigLIP has no class token; mirrors reference siglip.py:72-77
             raise NotImplementedError("SigLIP all-tokens variant is unsupported (no class token in SigLIP)")
-        if self.class_token:
-            raise NotImplementedError(
-                "SigLIP pooled (MAP-head) variants are not implemented yet; use an *-all-no-cls id"
-            )
+        if "classemb-at-first" in video_backbone_id:
+            # upstream-inconsistent: the reference's prefix-token tap returns
+            # 196 tokens/frame while its num_patches claims num_frames —
+            # the projector consistency assert fires (reference siglip.py:64-70
+            # vs :165-169); refusing is safer than silently diverging
+            raise NotImplementedError("SigLIP classemb-at-first is inconsistent upstream (no prefix tokens)")
+        # pooled variants (class_token=True): timm's default forward = full
+        # depth + final norm + MAP attention-pool head, one token per frame
         self.video_transform = VideoTransform(
             target_size=default_image_size,
             resize_strategy=image_resize_strategy,
@@ -63,12 +67,21 @@ class SiglipVideoBackbone(VideoBackbone):
     @property
     def vit_config(self) -> ViTConfig:
         base = SIGLIP_SO400M_224 if "so400m" in self.identifier else SIGLIP_BASE_224
-        return dataclasses.replace(base, image_size=self.default_image_size)
+        return dataclasses.replace(
+            base,
+            image_size=self.default_image_size,
+            attn_pool=self.class_token,
+            attn_pool_heads=base.num_heads,
+        )
 
     def __call__(self, params: PyTree, video_values: Array, is_image: Optional[Array] = None) -> Array:
-        """video_values: [B, F, C, H, W] -> [B, F*196, 768]."""
+        """video_values: [B, F, C, H, W] -> [B, F*196, D] (all-no-cls) or
+        [B, F, D] (pooled variants: MAP head, one token per frame)."""
         B, F, C, H, W = video_values.shape
         frames = video_values.reshape(B * F, C, H, W)
+        if self.class_token:
+            pooled = self.vit(params, frames, apply_attn_pool=True)  # [BF, D]
+            return pooled.reshape(B, F, self.embed_dim)
         feats = self.vit(params, frames, skip_last_layers=1)
         return feats.reshape(B, -1, self.embed_dim)
 

@@ -256,6 +256,21 @@ def import_vision_state_dict(cfg: ViTConfig, raw_state: Mapping[str, Any], *, pa
         pos_final = grid_pos
     params["pos_embed"] = pos_final
 
+    # timm MAP attention-pool head (SigLIP pooled variants; naming
+    # attn_pool.latent/q/kv/proj/norm/mlp regardless of body naming family)
+    if cfg.attn_pool and "attn_pool.latent" in state:
+        params["attn_pool"] = {
+            "latent": _to_numpy(state["attn_pool.latent"])[0],
+            "q": _linear(state, "attn_pool.q"),
+            "kv": _linear(state, "attn_pool.kv"),
+            "proj": _linear(state, "attn_pool.proj"),
+            "norm": _ln(state, "attn_pool.norm"),
+            "mlp": {
+                "fc1": _linear(state, "attn_pool.mlp.fc1"),
+                "fc2": _linear(state, "attn_pool.mlp.fc2"),
+            },
+        }
+
     params["layers"] = _stack_layers([layer(i) for i in range(L)])
     return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=param_dtype), params)
 

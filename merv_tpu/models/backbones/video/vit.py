@@ -68,6 +68,17 @@ class ViTConfig:
     temporal_attn: bool = False
     temporal_frames: int = 8            # size of the learned temporal embedding
 
+    # timm MAP head (AttentionPoolLatent): latent-probe cross-attention pooling.
+    # SigLIP's pooled variants use it via timm's default forward (reference
+    # siglip.py:47-58 keeps class_token=True -> featurizer() returns the
+    # pooled embedding, one token per frame).
+    attn_pool: bool = False
+    attn_pool_heads: int = 12
+    attn_pool_mlp_ratio: float = 4.0
+    attn_pool_act: str = "gelu"         # timm MAP head uses exact GELU; HF's
+    #                                     SiglipMultiheadAttentionPoolingHead
+    #                                     (same math) uses gelu_tanh
+
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -161,6 +172,20 @@ class VisionTransformer:
             params["register_tokens"] = init02(keys[4], (c.num_register_tokens, c.hidden_size), c.param_dtype)
         if c.pre_norm:
             params["pre_norm"] = ln.init(keys[5])
+        if c.attn_pool:
+            hidden = int(c.hidden_size * c.attn_pool_mlp_ratio)
+            pk = jax.random.split(keys[6], 6)
+            params["attn_pool"] = {
+                "latent": init02(pk[0], (1, c.hidden_size), c.param_dtype),
+                "q": lin(c.hidden_size, c.hidden_size).init(pk[1]),
+                "kv": lin(c.hidden_size, 2 * c.hidden_size).init(pk[2]),
+                "proj": lin(c.hidden_size, c.hidden_size).init(pk[3]),
+                "norm": ln.init(pk[4]),
+                "mlp": {
+                    "fc1": lin(c.hidden_size, hidden).init(pk[5]),
+                    "fc2": lin(hidden, c.hidden_size).init(pk[5]),
+                },
+            }
         return params
 
     # -- embedding -------------------------------------------------------------------
@@ -266,6 +291,32 @@ class VisionTransformer:
             return x * lp[name]["gamma"].astype(x.dtype)
         return x
 
+    def _attn_pool(self, pp: PyTree, x: Array) -> Array:
+        """timm AttentionPoolLatent (pool_type='token', latent_len=1):
+        latent probe -> q; tokens -> packed kv; SDPA; proj; x + mlp(norm(x));
+        take the single latent token. [B, N, D] -> [B, D]."""
+        c = self.cfg
+        B, N, D = x.shape
+        H = c.attn_pool_heads
+        hd = D // H
+        lin = Linear(D, D, param_dtype=c.param_dtype)
+        latent = jnp.broadcast_to(pp["latent"].astype(x.dtype), (B, 1, D))
+        q = lin(pp["q"], latent).reshape(B, 1, H, hd).transpose(0, 2, 1, 3)
+        kv = Linear(D, 2 * D, param_dtype=c.param_dtype)(pp["kv"], x).reshape(B, N, 2, H, hd)
+        k = kv[:, :, 0].transpose(0, 2, 1, 3)
+        v = kv[:, :, 1].transpose(0, 2, 1, 3)
+        out = attention(q, k, v, causal=False)
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, D)
+        out = lin(pp["proj"], out)
+        ln = LayerNorm(D, eps=c.layer_norm_eps, param_dtype=c.param_dtype)
+        h = ln(pp["norm"], out)
+        hidden = int(D * c.attn_pool_mlp_ratio)
+        h = Linear(D, hidden, param_dtype=c.param_dtype)(pp["mlp"]["fc1"], h)
+        h = ACT2FN[c.attn_pool_act](h)
+        h = Linear(hidden, D, param_dtype=c.param_dtype)(pp["mlp"]["fc2"], h)
+        out = out + h
+        return out[:, 0]
+
     def __call__(
         self,
         params: PyTree,
@@ -274,11 +325,15 @@ class VisionTransformer:
         skip_last_layers: int = 0,
         apply_final_norm: bool = False,
         frames: int = 1,
+        apply_attn_pool: bool = False,
     ) -> Array:
         """Encode pixels to token features.
 
         skip_last_layers=1 + apply_final_norm=False reproduces the reference's
         penultimate-layer tap; 0 + True is the HF last_hidden_state contract.
+        apply_attn_pool=True (requires cfg.attn_pool, full depth + final norm)
+        returns the MAP-head pooled embedding [B, D] — timm's default SigLIP
+        forward, used by the reference's pooled variants (siglip.py:47-58).
         """
         c = self.cfg
         x = self.embed(params, pixels.astype(c.compute_dtype))
@@ -292,8 +347,11 @@ class VisionTransformer:
             return self._layer(lp, h, frames), None
 
         x, _ = jax.lax.scan(body, x, layers)
-        if apply_final_norm:
+        if apply_final_norm or apply_attn_pool:
             x = LayerNorm(c.hidden_size, eps=c.layer_norm_eps, param_dtype=c.param_dtype)(params["final_norm"], x)
+        if apply_attn_pool:
+            assert c.attn_pool and skip_last_layers == 0, "attn_pool runs on full-depth normed features"
+            x = self._attn_pool(params["attn_pool"], x)
         return x
 
 

@@ -71,9 +71,10 @@ def test_siglip_all_no_cls(rng):
     assert out.shape == (2, 4 * 16, 64)
 
 
-def test_siglip_pooled_variant_unsupported():
-    with pytest.raises(NotImplementedError):
-        SiglipVideoBackbone("siglip-vit-b16-224px", "resize-naive")
+def test_siglip_pooled_variant_constructs():
+    # pooled (MAP-head) variants are supported since round 2 (test_attn_pool.py)
+    bb = SiglipVideoBackbone("siglip-vit-b16-224px", "resize-naive")
+    assert bb.class_token and bb.spatial_resolution == 1
 
 
 def test_vivit_16frames_variant(rng):
