@@ -308,6 +308,53 @@ def _library_flash(q, k, v, causal, scale, kv_mask):
     return flash_attention(q, k, v, causal=causal, sm_scale=scale, segment_ids=seg, block_sizes=sizes)
 
 
+def library_flash_pad_shapes(Tq: int, Tk: int, block: int = 512):
+    """Padded lengths satisfying the library kernel's divisibility (static)."""
+    return -(-Tq // block) * block, -(-Tk // block) * block
+
+
+def _library_flash_padded(q, k, v, causal, scale, kv_mask):
+    """Library flash with sequence padding + segment-id masking.
+
+    Dispatched for long non-128-multiple head dims (ViViT: [B, 12, 3137, 64])
+    where the library kernel measures 2.3x faster than XLA's fused attention
+    (1.26 vs 2.86 ms, v5e 2026-08-16) and our D-padding kernel trails both.
+    Padded q rows are fully masked (segment 0) and sliced off; padded k rows
+    get segment 0 so no valid query attends them.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, H, Tq, D = q.shape
+    Hk, Tk = k.shape[1], k.shape[2]
+    if Hk != H:
+        k = jnp.repeat(k, H // Hk, axis=1)
+        v = jnp.repeat(v, H // Hk, axis=1)
+    Tq_p, Tk_p = library_flash_pad_shapes(Tq, Tk)
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, Tq_p - Tq), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, 0)))
+    qseg = (jax.lax.broadcasted_iota(jnp.int32, (B, Tq_p), 1) < Tq).astype(jnp.int32)
+    kvseg = (jax.lax.broadcasted_iota(jnp.int32, (B, Tk_p), 1) < Tk).astype(jnp.int32)
+    if kv_mask is not None:
+        kvseg = kvseg * jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, Tk_p - Tk)))
+    bq = _pick_block(Tq_p, 512)
+    bk = _pick_block(Tk_p, 512)
+    sizes = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = flash_attention(
+        q, k, v, causal=causal, sm_scale=scale,
+        segment_ids=SegmentIds(q=qseg, kv=kvseg), block_sizes=sizes,
+    )
+    return out[:, :, :Tq, :]
+
+
 def _bwd_compatible(q, k, causal) -> bool:
     """Static check: library kernel constraints (block divisibility).
 
@@ -403,13 +450,17 @@ def attention(
     # tiling — long-sequence D>=128 ([2,32,3072,128]: 2.39 vs 18.65ms). The
     # kernel itself supports any D (zero-pads to the 128-lane tile) and any
     # T via impl='pallas'; 'auto' dispatches it only where it measures faster.
-    use_pallas = impl == "pallas" or (
+    long_seq = (
         impl == "auto"
         and bias is None
         and can_use_pallas()
-        and D % 128 == 0
         and min(Tq, Tk) >= 2048
     )
+    if long_seq and D % 128 != 0 and q_offset is None and not _INTERPRET:
+        # odd head dims at long T (ViViT D=64): the library flash kernel wins
+        # (crossover table in BASELINE.md); it pads internally via segment ids
+        return _library_flash_padded(q, k, v, causal, scale_val, kv_mask)
+    use_pallas = impl == "pallas" or (long_seq and D % 128 == 0)
     if use_pallas:
         assert bias is None, "additive bias is not supported by the Pallas kernel (use impl='xla')"
         if q_offset is not None:
