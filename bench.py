@@ -86,6 +86,12 @@ def make_bench_params(shapes, int8: bool = False):
     """Random bf16 params straight from an eval_shape tree; with ``int8`` the
     LLM kernels materialize directly in the quantized layout (int8 + scales) —
     no full-precision transient ever exists in HBM."""
+    if os.environ.get("BENCH_PACK", "1") == "1":
+        # serving layout: stored-packed qkv + gate/up GEMM kernels
+        from merv_tpu.models.backbones.llm.transformer import pack_serving_params
+
+        shapes = dict(shapes)
+        shapes["llm_backbone"] = jax.eval_shape(pack_serving_params, shapes["llm_backbone"])
     if int8:
         from merv_tpu.nn.quantization import quantize_tree
 

@@ -189,14 +189,24 @@ class LlamaDecoder:
         m = self._modules()
 
         x = m["input_norm"](lp["input_norm"], h)
-        # NOTE on packing: concatenating q/k/v into one GEMM measures FASTER
-        # in isolation at narrow widths but SLOWER here — under lax.scan the
-        # concat materializes a fresh [D, 3D] buffer every layer (~2x extra
-        # weight HBM traffic; whole-model bench regressed 445 -> 473 ms).
-        # Separate GEMMs read the scanned weights in place. Measured v5e.
-        q = m["q_proj"](lp["attn"]["q_proj"], x).reshape(B, T, c.num_heads, c.head_dim)
-        k = m["k_proj"](lp["attn"]["k_proj"], x).reshape(B, T, c.num_kv_heads, c.head_dim)
-        v = m["v_proj"](lp["attn"]["v_proj"], x).reshape(B, T, c.num_kv_heads, c.head_dim)
+        # NOTE on packing: concatenating q/k/v into one GEMM AT TRACE TIME
+        # measures FASTER in isolation at narrow widths but SLOWER here —
+        # under lax.scan the concat materializes a fresh [D, 3D] buffer every
+        # layer (~2x extra weight HBM traffic; whole-model bench regressed
+        # 445 -> 473 ms). STORED-packed weights (pack_serving_params: one
+        # [D, 3D] kernel on disk/HBM, no concat in the program) keep the
+        # single-GEMM win without the traffic; the serving path uses them.
+        if "qkv_proj" in lp["attn"]:
+            qkv = Linear(c.hidden_size, c.q_dim + 2 * c.kv_dim,
+                         use_bias=c.attention_bias, param_dtype=c.param_dtype)(lp["attn"]["qkv_proj"], x)
+            q, k, v = jnp.split(qkv, [c.q_dim, c.q_dim + c.kv_dim], axis=-1)
+            q = q.reshape(B, T, c.num_heads, c.head_dim)
+            k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
+            v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
+        else:
+            q = m["q_proj"](lp["attn"]["q_proj"], x).reshape(B, T, c.num_heads, c.head_dim)
+            k = m["k_proj"](lp["attn"]["k_proj"], x).reshape(B, T, c.num_kv_heads, c.head_dim)
+            v = m["v_proj"](lp["attn"]["v_proj"], x).reshape(B, T, c.num_kv_heads, c.head_dim)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # [B, H, T, D]
 
         q = _rope(cos_sin, q)
@@ -219,8 +229,13 @@ class LlamaDecoder:
         h = h + m["o_proj"](lp["attn"]["o_proj"], out)
 
         x = m["post_attn_norm"](lp["post_attn_norm"], h)
-        gate = m["gate_proj"](lp["mlp"]["gate_proj"], x)
-        up = m["up_proj"](lp["mlp"]["up_proj"], x)
+        if "gate_up_proj" in lp["mlp"]:
+            gu = Linear(c.hidden_size, 2 * c.intermediate_size, use_bias=False,
+                        param_dtype=c.param_dtype)(lp["mlp"]["gate_up_proj"], x)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = m["gate_proj"](lp["mlp"]["gate_proj"], x)
+            up = m["up_proj"](lp["mlp"]["up_proj"], x)
         h = h + m["down_proj"](lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
         return h, new_cache
 
@@ -311,6 +326,49 @@ class LlamaDecoder:
         else:
             logits = m["lm_head"](params["lm_head"], h)
         return logits, new_cache
+
+
+def pack_serving_params(params: PyTree) -> PyTree:
+    """Pack q/k/v (and gate/up) kernels into single stored GEMM weights.
+
+    An inference-time layout transform: [D, q_dim], [D, kv_dim], [D, kv_dim]
+    kernels concatenate into one [D, q_dim + 2*kv_dim] kernel (same for
+    gate/up -> [D, 2*I]), so the decoder runs one wide MXU GEMM where three
+    narrow ones ran. Because the packed kernel is what's STORED, there is no
+    per-layer concat in the compiled program — the scanned weights are read
+    in place (the trace-time-concat variant regressed; see _layer). Bit-exact:
+    GEMM columns are independent, so packed output == concat of separate
+    outputs. Apply after checkpoint load, before jit; training params stay
+    unpacked (optimizer states key on the unpacked tree).
+
+    Single-chip serving layout: the tensor-parallel rule table
+    (parallel/sharding.py) keys on the UNPACKED q/k/v paths — a packed tree
+    under a tensor>1 mesh falls back to replicated weights (correct, just not
+    sharded). Use ``pack_llm=False`` / unpacked params for TP serving.
+    """
+    params = dict(params)
+    layers = dict(params["layers"])
+    attn = dict(layers["attn"])
+    mlp = dict(layers["mlp"])
+    qkv = {"kernel": jnp.concatenate(
+        [attn["q_proj"]["kernel"], attn["k_proj"]["kernel"], attn["v_proj"]["kernel"]], axis=-1
+    )}
+    if "bias" in attn["q_proj"]:
+        qkv["bias"] = jnp.concatenate(
+            [attn["q_proj"]["bias"], attn["k_proj"]["bias"], attn["v_proj"]["bias"]], axis=-1
+        )
+    for k in ("q_proj", "k_proj", "v_proj"):
+        del attn[k]
+    attn["qkv_proj"] = qkv
+    mlp["gate_up_proj"] = {"kernel": jnp.concatenate(
+        [mlp["gate_proj"]["kernel"], mlp["up_proj"]["kernel"]], axis=-1
+    )}
+    for k in ("gate_proj", "up_proj"):
+        del mlp[k]
+    layers["attn"] = attn
+    layers["mlp"] = mlp
+    params["layers"] = layers
+    return params
 
 
 # ---------------------------------------------------------------------------

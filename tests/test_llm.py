@@ -126,6 +126,37 @@ def test_qwen_style_bias_and_gqa():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
 
 
+def test_packed_serving_params_bit_exact():
+    """pack_serving_params (stored-packed qkv + gate/up GEMMs) must be a pure
+    layout change: logits match the unpacked tree to GEMM-tiling rounding
+    (wide vs narrow GEMMs reduce in different K orders, so exact bitwise
+    equality does not hold), including biases (qwen-style) and GQA splits."""
+    from merv_tpu.models.backbones.llm.transformer import pack_serving_params
+
+    cfg = DecoderConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=96, num_layers=3,
+        num_heads=6, num_kv_heads=2, head_dim=8, attention_bias=True,
+        compute_dtype=jnp.float32,
+    )
+    dec = LlamaDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0))
+    packed = pack_serving_params(params)
+    assert "qkv_proj" in packed["layers"]["attn"] and "q_proj" not in packed["layers"]["attn"]
+    assert "gate_up_proj" in packed["layers"]["mlp"]
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, cfg.vocab_size, size=(2, 11)))
+    mask = jnp.ones_like(ids).at[1, 8:].set(0)
+    ref, _ = dec(params, input_ids=ids, attention_mask=mask)
+    got, _ = dec(packed, input_ids=ids, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # decode path with KV cache also runs the packed layout
+    cache = KVCache.create(cfg, 2, 16, dtype=jnp.float32)
+    _, cache = dec(packed, input_ids=ids, attention_mask=mask, kv_cache=cache)
+    step, _ = dec(packed, input_ids=ids[:, -1:], kv_cache=cache)
+    assert np.isfinite(np.asarray(step)).all()
+
+
 def test_export_roundtrip(hf_and_ours):
     model, dec, params, _ = hf_and_ours
     state = export_llama_state_dict(TINY, params)
