@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from merv_tpu.nn.core import ACT2FN, Embed, LayerNorm, Linear, normal_init, trunc_normal_init, zeros_init
-from merv_tpu.ops.attention import attention
+from merv_tpu.ops.attention import DEFAULT_MASK_VALUE, attention
 
 Array = jax.Array
 PyTree = Any
@@ -263,6 +263,37 @@ class VisionTransformer:
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
         return lin(lp["o_proj"], out)
 
+    def _mha_time_packed(self, lp: PyTree, x: Array) -> Array:
+        """MHA over a TINY sequence (the temporal frame axis), MXU-packed.
+
+        Plain batched attention at [B*N, H, F, F] (F = 8 frames) runs ~131k
+        [F, d]x[d, F] matmuls per layer at ~1% MXU utilization — measured
+        ~30 ms of the 75 ms LanguageBind tower. Packing all H heads' F-frame
+        windows into ONE sequence of H*F = 128 rows with a block-diagonal
+        mask turns that into [B*N, 128, 128] full-tile MXU work (the off-
+        diagonal blocks are wasted FLOPs, but tiny compared to the
+        utilization win). Identical math to per-head attention: each
+        (head, frame) query row sees exactly its own head's F keys.
+        """
+        c = self.cfg
+        Bn, F, Dm = x.shape
+        H, dh = c.num_heads, c.head_dim
+        lin = Linear(Dm, Dm, param_dtype=c.param_dtype)
+        # FRAME-major packed rows [Bn, 1, F*H, dh]: a pure reshape of the
+        # projection output ([Bn, F, Dm] -> rows (f, h)) — no head transpose
+        # in, and the output reshape back to [Bn, F, Dm] is head-major concat
+        # per frame, exactly o_proj's expected layout. Fully transpose-free.
+        q = lin(lp["q_proj"], x).reshape(Bn, 1, F * H, dh)
+        k = lin(lp["k_proj"], x).reshape(Bn, 1, F * H, dh)
+        v = lin(lp["v_proj"], x).reshape(Bn, 1, F * H, dh)
+        # row r = f*H + h: same-head pairs are r % H == r' % H
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (F * H, F * H), 0) % H
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (F * H, F * H), 1) % H
+        bias = jnp.where(row_head == col_head, 0.0, DEFAULT_MASK_VALUE)[None, None]
+        out = attention(q, k, v, causal=False, bias=bias)
+        out = out.reshape(Bn, F, Dm)
+        return lin(lp["o_proj"], out)
+
     def _layer(self, lp: PyTree, x: Array, frames: int) -> Array:
         c = self.cfg
         ln = LayerNorm(c.hidden_size, eps=c.layer_norm_eps, param_dtype=c.param_dtype)
@@ -275,7 +306,11 @@ class VisionTransformer:
             xt = x.reshape(B, frames, N, D)
             xt = xt + lp["temporal_embedding"][None, :frames, None, :].astype(x.dtype)
             xt = xt.transpose(0, 2, 1, 3).reshape(B * N, frames, D)  # [(B*N), T, D]
-            yt = self._mha(lp["t_attn"], ln(lp["t_norm"], xt))
+            xt_n = ln(lp["t_norm"], xt)
+            if frames * c.num_heads <= 512:
+                yt = self._mha_time_packed(lp["t_attn"], xt_n)
+            else:
+                yt = self._mha(lp["t_attn"], xt_n)
             xt = xt + yt
             x = xt.reshape(B, N, frames, D).transpose(0, 2, 1, 3).reshape(BT, N, D)
 

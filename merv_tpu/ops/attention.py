@@ -442,6 +442,50 @@ def _flash_bwd_rule(causal, scale, block_q, block_k, has_mask, res, g):
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+def dispatch_plan(
+    Tq: int,
+    Tk: int,
+    D: int,
+    *,
+    causal: bool,
+    has_bias: bool,
+    has_q_offset: bool,
+    impl: str = "auto",
+    on_tpu: bool = True,
+) -> str:
+    """Static kernel choice for :func:`attention`: 'library' | 'pallas' | 'xla'.
+
+    Pure function of shapes/flags so tests can pin which kernel every model
+    path actually runs (training step, serving prefill, towers, decode).
+    Measured rules (v5e crossover table in BASELINE.md, 2026-08-16):
+
+    - causal self-attention with ``Tq == Tk >= 1024`` -> library flash kernel
+      (beats XLA at every measured LLM shape: serving prefill
+      [2,32,1088,128] 2.15 vs 2.63 ms, batched [8,...] 4.65 vs 6.16,
+      training [2,32,3072,128] 3.49 vs 19.8). Differentiable: the library
+      kernel carries its own Pallas VJP.
+    - ``min(Tq,Tk) >= 2048``: our Pallas kernel for ``D % 128 == 0``
+      (custom VJP with library backward), library flash for odd head dims
+      (ViViT [2,12,3137,64]: 3.26 vs XLA 4.45).
+    - everything shorter (vision-tower frames, decode steps) -> XLA fused
+      attention, which measures fastest there.
+    """
+    if impl == "pallas":
+        return "pallas"
+    if impl != "auto" or has_bias or not on_tpu:
+        return "xla"
+    if has_q_offset:
+        # cache-offset prefill/decode: the library kernel has no q_offset
+        # notion, so only the custom kernel (non-VJP direct call) applies;
+        # worth it only at long-context cache prefill shapes
+        return "pallas" if (min(Tq, Tk) >= 2048 and D % 128 == 0) else "xla"
+    if causal and Tq == Tk and Tq >= 1024:
+        return "library"
+    if min(Tq, Tk) >= 2048:
+        return "pallas" if D % 128 == 0 else "library"
+    return "xla"
+
+
 def can_use_pallas() -> bool:
     if not _PALLAS_TPU:
         return False
@@ -482,34 +526,16 @@ def attention(
     scale_val = (D ** -0.5) if scale is None else scale
     Tq, Tk = q.shape[2], k.shape[2]
 
-    # Measured dispatch rule (v5e, 2026-08; see BASELINE.md "attention
-    # kernel crossover"): XLA's fused attention wins every vision-tower shape
-    # (T 196-3137, D 64, any batch — e.g. ViViT [8,12,3137,64]: XLA 12.7ms vs
-    # ours 16.4ms) and short LLM prefill ([2,32,1088,128]: 1.69 vs 2.40ms);
-    # our kernel wins 4-8x once a single fusion's score tensor blows VMEM
-    # tiling — long-sequence D>=128 ([2,32,3072,128]: 2.39 vs 18.65ms). The
-    # kernel itself supports any D (zero-pads to the 128-lane tile) and any
-    # T via impl='pallas'; 'auto' dispatches it only where it measures faster.
-    auto_tpu = impl == "auto" and bias is None and can_use_pallas() and not _INTERPRET
-    if auto_tpu and causal and Tq == Tk and Tq >= 1024 and q_offset is None:
-        # causal self-attention at LLM lengths: the library flash kernel beats
-        # XLA's materialized-scores fusion at every measured shape — serving
-        # prefill [2,32,1088,128] 2.15 vs 2.63 ms, batched [8,...] 4.65 vs
-        # 6.16, training [2,32,3072,128] 3.49 vs 19.8 (v5e 2026-08-16).
-        # Differentiable: the library kernel carries its own Pallas VJP.
-        return _library_flash_padded(q, k, v, causal, scale_val, kv_mask)
-    long_seq = (
-        impl == "auto"
-        and bias is None
-        and can_use_pallas()
-        and min(Tq, Tk) >= 2048
+    # Measured dispatch (see dispatch_plan's docstring and BASELINE.md's
+    # crossover table for the per-shape numbers behind the rule).
+    plan = dispatch_plan(
+        Tq, Tk, D, causal=causal, has_bias=bias is not None,
+        has_q_offset=q_offset is not None, impl=impl,
+        on_tpu=can_use_pallas() and not _INTERPRET,
     )
-    if long_seq and D % 128 != 0 and q_offset is None and not _INTERPRET:
-        # odd head dims at long T (ViViT D=64): the library flash kernel wins
-        # (crossover table in BASELINE.md); it pads internally via segment ids
+    if plan == "library":
         return _library_flash_padded(q, k, v, causal, scale_val, kv_mask)
-    use_pallas = impl == "pallas" or (long_seq and D % 128 == 0)
-    if use_pallas:
+    if plan == "pallas":
         assert bias is None, "additive bias is not supported by the Pallas kernel (use impl='xla')"
         if q_offset is not None:
             # cache-aware prefill: direct (non-VJP) kernel call

@@ -105,3 +105,36 @@ def test_flash_backward_grads(rng):
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_dispatch_plan_pins_model_paths():
+    """Pin which kernel every real model path runs (BASELINE.md crossover).
+
+    Guards against silent dispatch regressions: a seq/projector change that
+    moves the training shape off the flash path would revert to O(T^2)
+    score materialization without failing any numeric test.
+    """
+    plan = lambda *a, **kw: A.dispatch_plan(
+        *a, has_bias=kw.pop("has_bias", False),
+        has_q_offset=kw.pop("has_q_offset", False), **kw
+    )
+    # LLM training step (padded 3072 tokens) and serving/batched prefill:
+    # library flash kernel (fwd+bwd via its own Pallas VJP)
+    assert plan(3072, 3072, 128, causal=True) == "library"
+    assert plan(1088, 1088, 128, causal=True) == "library"
+    # vision towers (short per-frame sequences): XLA fused attention
+    assert plan(196, 196, 64, causal=False) == "xla"     # SigLIP
+    assert plan(261, 261, 64, causal=False) == "xla"     # DINOv2
+    assert plan(257, 257, 64, causal=False) == "xla"     # LanguageBind spatial
+    assert plan(16, 16, 64, causal=False) == "xla"       # LanguageBind temporal
+    # ViViT's 3137-token video sequence: library flash (odd head dim, long T)
+    assert plan(3137, 3137, 64, causal=False) == "library"
+    # long non-causal with MXU-aligned head dim: our kernel
+    assert plan(4096, 4096, 128, causal=False) == "pallas"
+    # decode step against the KV cache: XLA
+    assert plan(1, 2048, 128, causal=True, has_q_offset=True) == "xla"
+    # additive bias is XLA-only
+    assert plan(3072, 3072, 128, causal=True, has_bias=True) == "xla"
+    # off-TPU everything is XLA; impl overrides win
+    assert plan(3072, 3072, 128, causal=True, on_tpu=False) == "xla"
+    assert plan(196, 196, 64, causal=False, impl="pallas") == "pallas"
