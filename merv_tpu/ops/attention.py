@@ -19,7 +19,7 @@ handled in the BlockSpec index map (no KV head replication in HBM).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -298,6 +298,91 @@ def _flash_forward(
 
 
 # ---------------------------------------------------------------------------
+# Small-sequence kernel (vision-tower shapes)
+# ---------------------------------------------------------------------------
+
+
+def _small_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq: int, heads: int):
+    """Whole-sequence attention for short T: one grid cell per batch item,
+    heads unrolled inside the cell.
+
+    The blocked flash kernel spends ~5us of fixed overhead per grid cell; at
+    [32, 16, 261, 64] that is 512 cells of trivial work — overhead-dominated.
+    Here the grid is (B,), K/V/Q for all heads sit in VMEM (~2.5 MB at tower
+    shapes), and the 16 per-head dots amortize one cell's overhead. head_dim
+    stays UNPADDED (the MXU tolerates K=64 contractions; padding to 128 in
+    HBM costs two extra full passes over q/k/v).
+    """
+    Tp = q_ref.shape[2]
+    for h in range(heads):  # static unroll
+        q = q_ref[0, h]  # [Tp, D]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [Tp, Tp] fp32
+        if Tp != seq:
+            col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+            s = jnp.where(col < seq, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _small_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Non-causal, unmasked attention for Tq == Tk <= 512 (tower frames).
+
+    Differentiable via XLA-recompute backward (towers are frozen in every
+    reference training stage, so the backward is a correctness safety net,
+    not a hot path)."""
+    return _small_attention_fwd_impl(q, k, v, scale)
+
+
+def _small_attention_fwd_impl(q: Array, k: Array, v: Array, scale: float) -> Array:
+    B, H, T, D = q.shape
+    assert k.shape == q.shape and v.shape == q.shape, "small kernel: self-attention shapes only"
+    Tp = -(-T // 16) * 16  # bf16 sublane tile
+    if Tp != T:
+        pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    kernel = functools.partial(_small_attn_kernel, scale=scale, seq=T, heads=H)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, Tp, D), lambda b: (b, 0, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((1, H, Tp, D), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)) if _PALLAS_TPU else None,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tp * Tp * D,
+            bytes_accessed=(q.size * 4) * q.dtype.itemsize,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=_INTERPRET,
+    )(q, k, v)
+    return out[:, :, :T, :] if Tp != T else out
+
+
+def _small_attention_fwd_rule(q, k, v, scale):
+    return _small_attention_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _small_attention_bwd_rule(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v, scale=scale), q, k, v)
+    return vjp(g)
+
+
+_small_attention.defvjp(_small_attention_fwd_rule, _small_attention_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # Public API with custom VJP (backward via XLA recompute for now)
 # ---------------------------------------------------------------------------
 
@@ -452,8 +537,10 @@ def dispatch_plan(
     has_q_offset: bool,
     impl: str = "auto",
     on_tpu: bool = True,
+    has_mask: bool = False,
+    self_shaped: bool = False,
 ) -> str:
-    """Static kernel choice for :func:`attention`: 'library' | 'pallas' | 'xla'.
+    """Static kernel choice: 'small' | 'library' | 'pallas' | 'xla'.
 
     Pure function of shapes/flags so tests can pin which kernel every model
     path actually runs (training step, serving prefill, towers, decode).
@@ -483,6 +570,16 @@ def dispatch_plan(
         return "library"
     if min(Tq, Tk) >= 2048:
         return "pallas" if D % 128 == 0 else "library"
+    if (
+        not causal and not has_mask and self_shaped
+        and Tq == Tk and 224 <= Tq <= 512 and D <= 128
+    ):
+        # measured on the full towers (v5e 2026-08-16): DINOv2 57.0 -> 55.0,
+        # LanguageBind 67.0 -> 64.9 ms; SigLIP's 196-token frames got SLOWER
+        # (8.3 -> 9.4) so the lower bound keeps them on XLA
+        # vision-tower frame attention: the whole-sequence-per-batch-cell
+        # kernel amortizes grid overhead over all heads (see _small_attention)
+        return "small"
     return "xla"
 
 
@@ -532,7 +629,10 @@ def attention(
         Tq, Tk, D, causal=causal, has_bias=bias is not None,
         has_q_offset=q_offset is not None, impl=impl,
         on_tpu=can_use_pallas() and not _INTERPRET,
+        has_mask=kv_mask is not None, self_shaped=q.shape == k.shape,
     )
+    if plan == "small":
+        return _small_attention(q, k, v, scale_val)
     if plan == "library":
         return _library_flash_padded(q, k, v, causal, scale_val, kv_mask)
     if plan == "pallas":

@@ -122,11 +122,17 @@ def test_dispatch_plan_pins_model_paths():
     # library flash kernel (fwd+bwd via its own Pallas VJP)
     assert plan(3072, 3072, 128, causal=True) == "library"
     assert plan(1088, 1088, 128, causal=True) == "library"
-    # vision towers (short per-frame sequences): XLA fused attention
-    assert plan(196, 196, 64, causal=False) == "xla"     # SigLIP
-    assert plan(261, 261, 64, causal=False) == "xla"     # DINOv2
-    assert plan(257, 257, 64, causal=False) == "xla"     # LanguageBind spatial
-    assert plan(16, 16, 64, causal=False) == "xla"       # LanguageBind temporal
+    # vision towers: whole-sequence small kernel at 257/261-token frames
+    # (measured faster than XLA there), XLA at SigLIP's 196 and below
+    assert plan(196, 196, 64, causal=False, self_shaped=True) == "xla"    # SigLIP
+    assert plan(261, 261, 64, causal=False, self_shaped=True) == "small"  # DINOv2
+    assert plan(257, 257, 64, causal=False, self_shaped=True) == "small"  # LanguageBind spatial
+    assert plan(128, 128, 64, causal=False, self_shaped=True) == "xla"    # packed temporal (bias->xla anyway)
+    assert plan(16, 16, 64, causal=False) == "xla"       # tiny seqs
+    # the small kernel requires plain self-attention: masked or cross-shaped
+    # calls stay on XLA
+    assert plan(261, 261, 64, causal=False, self_shaped=True, has_mask=True) == "xla"
+    assert plan(261, 261, 64, causal=False, self_shaped=False) == "xla"
     # ViViT's 3137-token video sequence: library flash (odd head dim, long T)
     assert plan(3137, 3137, 64, causal=False) == "library"
     # long non-causal with MXU-aligned head dim: our kernel
@@ -138,3 +144,29 @@ def test_dispatch_plan_pins_model_paths():
     # off-TPU everything is XLA; impl overrides win
     assert plan(3072, 3072, 128, causal=True, on_tpu=False) == "xla"
     assert plan(196, 196, 64, causal=False, impl="pallas") == "pallas"
+
+
+def test_small_attention_matches_reference(rng):
+    """Whole-sequence tower kernel (interpret mode) vs XLA reference,
+    including the 16-sublane padding path (261 -> 272)."""
+    for T in (256, 261):
+        q, k, v = _rand_qkv(rng, B=2, H=3, Hk=3, Tq=T, Tk=T, D=64)
+        out = A._small_attention(q, k, v, 64 ** -0.5)
+        ref = A.attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_small_attention_backward(rng):
+    """The small kernel's custom VJP (XLA recompute) matches reference grads."""
+    q, k, v = _rand_qkv(rng, B=1, H=2, Hk=2, Tq=48, Tk=48, D=32)
+
+    def loss_small(q, k, v):
+        return jnp.sum(A._small_attention(q, k, v, 32 ** -0.5) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(A.attention_reference(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_small, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
