@@ -106,7 +106,16 @@ def _strip_prefix(state: Mapping[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def import_vision_state_dict(cfg: ViTConfig, raw_state: Mapping[str, Any], *, param_dtype: Any = jnp.float32) -> PyTree:
+def import_vision_state_dict(
+    cfg: ViTConfig,
+    raw_state: Mapping[str, Any],
+    *,
+    param_dtype: Any = jnp.float32,
+    require_attn_pool: bool = True,
+) -> PyTree:
+    """``require_attn_pool=False`` permits importing just the transformer body
+    when ``cfg.attn_pool`` is set (caller grafts a differently-named head —
+    e.g. HF's ``head.*`` packed in_proj layout — afterwards)."""
     state = _strip_prefix(raw_state)
     naming = _detect_naming(state)
     D = cfg.hidden_size
@@ -258,6 +267,13 @@ def import_vision_state_dict(cfg: ViTConfig, raw_state: Mapping[str, Any], *, pa
 
     # timm MAP attention-pool head (SigLIP pooled variants; naming
     # attn_pool.latent/q/kv/proj/norm/mlp regardless of body naming family)
+    if cfg.attn_pool and require_attn_pool and "attn_pool.latent" not in state:
+        # fail at import time, not as an opaque KeyError deep in forward
+        raise KeyError(
+            "config requires the MAP attention-pool head but the checkpoint has "
+            "no attn_pool.* keys — pooled-variant weights must include the head "
+            "(or pass require_attn_pool=False and graft the head explicitly)"
+        )
     if cfg.attn_pool and "attn_pool.latent" in state:
         params["attn_pool"] = {
             "latent": _to_numpy(state["attn_pool.latent"])[0],
@@ -445,7 +461,11 @@ def extract_hiera_state(source: Optional[str], online: bool) -> Dict[str, np.nda
             import torch
 
             url = "https://dl.fbaipublicfiles.com/hiera/mae_k400/hiera_base_plus_16x224.pth"
-            raw = torch.hub.load_state_dict_from_url(url, map_location="cpu", check_hash=False)
+            # weights_only matches load_torch_ckpt_file's hardening: never
+            # unpickle arbitrary objects from a remotely served archive
+            raw = torch.hub.load_state_dict_from_url(
+                url, map_location="cpu", check_hash=False, weights_only=True
+            )
             for key in ("model_state", "state_dict"):
                 if isinstance(raw, dict) and key in raw:
                     raw = raw[key]

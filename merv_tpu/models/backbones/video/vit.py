@@ -174,7 +174,7 @@ class VisionTransformer:
             params["pre_norm"] = ln.init(keys[5])
         if c.attn_pool:
             hidden = int(c.hidden_size * c.attn_pool_mlp_ratio)
-            pk = jax.random.split(keys[6], 6)
+            pk = jax.random.split(keys[6], 7)
             params["attn_pool"] = {
                 "latent": init02(pk[0], (1, c.hidden_size), c.param_dtype),
                 "q": lin(c.hidden_size, c.hidden_size).init(pk[1]),
@@ -183,7 +183,7 @@ class VisionTransformer:
                 "norm": ln.init(pk[4]),
                 "mlp": {
                     "fc1": lin(c.hidden_size, hidden).init(pk[5]),
-                    "fc2": lin(hidden, c.hidden_size).init(pk[5]),
+                    "fc2": lin(hidden, c.hidden_size).init(pk[6]),
                 },
             }
         return params

@@ -499,12 +499,20 @@ class MERV(VidLM):
         input_ids, attention_mask, vids, is_mm = self._prepare_batch_inputs(
             videos, prompt_texts, num_frames, clip_args
         )
-        out = self.forward(params, input_ids, attention_mask, vids, is_multimodal=is_mm)
-        mask = out["attention_mask"]
+        # last-position-only lm_head (decoder logits_indices fast path): the
+        # full [B, T, V] logits buffer would be ~2.7 GB bf16 for qwen-scale
+        # vocabs at fused-sequence length — ~1000x the needed lm_head work
+        feats = self.encode_videos(params, vids)
+        visual, _ = self.project_and_fuse(params, feats)
+        embeds, mask, _ = self.embed_multimodal(
+            params, input_ids, attention_mask, visual, None, is_mm
+        )
         last = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
-        rows = np.asarray(
-            out["logits"][jnp.arange(input_ids.shape[0]), last].astype(jnp.float32)
-        )  # [B, V] next-token logits
+        logits, _ = self.llm_backbone.decoder(
+            params["llm_backbone"], inputs_embeds=embeds, attention_mask=mask,
+            logits_indices=last.astype(jnp.int32),
+        )
+        rows = np.asarray(logits[:, 0].astype(jnp.float32))  # [B, V] next-token logits
         picks = []
         V = rows.shape[1]
         for b, options in enumerate(option_strings):

@@ -397,40 +397,46 @@ def _flash_fwd_rule(q, k, v, causal, scale, block_q, block_k, has_mask, kv_mask=
     return out, (q, k, v, kv_mask)
 
 
-def _library_flash(q, k, v, causal, scale, kv_mask):
-    """JAX's shipped Pallas TPU flash attention (fwd AND bwd kernels).
-
-    Used for the backward pass: differentiating through it gives O(T)-memory
-    Pallas gradients instead of materialized [B,H,Tq,Tk] score recompute.
-    GQA handled by repeating KV heads; padding mask encoded as segment ids
-    (pad=0, valid=1 — cross-segment attention is masked).
-    """
+def _library_flash_call(q, k, v, causal, scale, qseg, kvseg):
+    """Shared core over JAX's shipped Pallas TPU flash attention: GQA
+    head-repeat, 512-block BlockSizes, segment-id plumbing. Both wrappers
+    (exact-shape and padded) go through here so block-size tuning or a GQA
+    fix cannot silently diverge between the forward and backward paths."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         SegmentIds,
         flash_attention,
     )
 
-    B, H, Tq, D = q.shape
-    Hk, Tk = k.shape[1], k.shape[2]
+    H = q.shape[1]
+    Hk = k.shape[1]
     if Hk != H:
         k = jnp.repeat(k, H // Hk, axis=1)
         v = jnp.repeat(v, H // Hk, axis=1)
-    seg = None
-    if kv_mask is not None:
-        # kv_mask masks KEYS only (reference semantics: pad queries still
-        # attend valid keys); query segment is all-ones so q==kv segment
-        # exactly where the key is valid.
-        kvseg = kv_mask.astype(jnp.int32)
-        seg = SegmentIds(q=jnp.ones((B, Tq), jnp.int32), kv=kvseg)
-    bq = _pick_block(Tq, 512)
-    bk = _pick_block(Tk, 512)
+    seg = None if kvseg is None else SegmentIds(q=qseg, kv=kvseg)
+    bq = _pick_block(q.shape[2], 512)
+    bk = _pick_block(k.shape[2], 512)
     sizes = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
         block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
     )
     return flash_attention(q, k, v, causal=causal, sm_scale=scale, segment_ids=seg, block_sizes=sizes)
+
+
+def _library_flash(q, k, v, causal, scale, kv_mask):
+    """Library flash at already-block-divisible shapes (the backward path).
+
+    Differentiating through it gives O(T)-memory Pallas gradients instead of
+    materialized [B,H,Tq,Tk] score recompute. kv_mask masks KEYS only
+    (reference semantics: pad queries still attend valid keys); the query
+    segment is all-ones so q==kv segment exactly where the key is valid.
+    """
+    qseg = kvseg = None
+    if kv_mask is not None:
+        qseg = jnp.ones((q.shape[0], q.shape[2]), jnp.int32)
+        kvseg = kv_mask.astype(jnp.int32)
+    return _library_flash_call(q, k, v, causal, scale, qseg, kvseg)
 
 
 def library_flash_pad_shapes(Tq: int, Tk: int, block: int = 512):
@@ -441,23 +447,16 @@ def library_flash_pad_shapes(Tq: int, Tk: int, block: int = 512):
 def _library_flash_padded(q, k, v, causal, scale, kv_mask):
     """Library flash with sequence padding + segment-id masking.
 
-    Dispatched for long non-128-multiple head dims (ViViT: [B, 12, 3137, 64])
-    where the library kernel measures 2.3x faster than XLA's fused attention
-    (1.26 vs 2.86 ms, v5e 2026-08-16) and our D-padding kernel trails both.
-    Padded q rows are fully masked (segment 0) and sliced off; padded k rows
-    get segment 0 so no valid query attends them.
+    Dispatched for causal LLM self-attention >= 1024 and long odd head dims
+    (ViViT: [B, 12, 3137, 64]), where the library kernel beats XLA's fused
+    attention (crossover table in BASELINE.md). Padded q rows are fully
+    masked (segment 0) and sliced off; padded k rows get segment 0 so no
+    valid query attends them. Callers must keep causal Tq == Tk (the library
+    causal mask is top-left aligned; ours is right-aligned — dispatch_plan
+    and _bwd_compatible both enforce this).
     """
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        SegmentIds,
-        flash_attention,
-    )
-
     B, H, Tq, D = q.shape
-    Hk, Tk = k.shape[1], k.shape[2]
-    if Hk != H:
-        k = jnp.repeat(k, H // Hk, axis=1)
-        v = jnp.repeat(v, H // Hk, axis=1)
+    Tk = k.shape[2]
     Tq_p, Tk_p = library_flash_pad_shapes(Tq, Tk)
     q = jnp.pad(q, ((0, 0), (0, 0), (0, Tq_p - Tq), (0, 0)))
     k = jnp.pad(k, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, 0)))
@@ -466,17 +465,7 @@ def _library_flash_padded(q, k, v, causal, scale, kv_mask):
     kvseg = (jax.lax.broadcasted_iota(jnp.int32, (B, Tk_p), 1) < Tk).astype(jnp.int32)
     if kv_mask is not None:
         kvseg = kvseg * jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, Tk_p - Tk)))
-    bq = _pick_block(Tq_p, 512)
-    bk = _pick_block(Tk_p, 512)
-    sizes = BlockSizes(
-        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
-        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
-    )
-    out = flash_attention(
-        q, k, v, causal=causal, sm_scale=scale,
-        segment_ids=SegmentIds(q=qseg, kv=kvseg), block_sizes=sizes,
-    )
+    out = _library_flash_call(q, k, v, causal, scale, qseg, kvseg)
     return out[:, :, :Tq, :]
 
 
@@ -569,7 +558,13 @@ def dispatch_plan(
     if causal and Tq == Tk and Tq >= 1024:
         return "library"
     if min(Tq, Tk) >= 2048:
-        return "pallas" if D % 128 == 0 else "library"
+        if D % 128 == 0:
+            return "pallas"
+        # library kernel only for non-causal or Tq == Tk: its causal mask is
+        # top-left aligned, ours is right-aligned (offset Tk-Tq) — the same
+        # mismatch _bwd_compatible documents for the backward. Causal
+        # cross-length odd-D falls through to the XLA reference.
+        return "library" if (not causal or Tq == Tk) else "xla"
     if (
         not causal and not has_mask and self_shaped
         and Tq == Tk and 224 <= Tq <= 512 and D <= 128

@@ -57,6 +57,7 @@ class EvalConfig:
     batch_size: int = 1                             # questions per prefill (TPU batching win)
     strategy: str = "naive"                         # answer-extraction: naive | likelihood
     allow_random_weights: bool = False              # random-init fallback (speed tests ONLY)
+    quantize_llm: bool = False                      # weight-only int8 LLM serving (fits 7B on one v5e)
     filename_question: str = "test_q"
     filename_answer: str = "test_a"
     eval_data_root: Path = Path("eval_data")
@@ -116,7 +117,10 @@ def evaluate(cfg: EvalConfig) -> None:
     # accuracies that look like results are worse than a crash) ---
     local_run = Path("runs") / str(cfg.model_path)
     src = str(local_run) if local_run.exists() else str(cfg.model_path)
-    vidlm, params, model_cfg = load_vid(src, get_model_cfg=True, allow_random_weights=cfg.allow_random_weights)
+    vidlm, params, model_cfg = load_vid(
+        src, get_model_cfg=True, allow_random_weights=cfg.allow_random_weights,
+        quantize_llm=cfg.quantize_llm,
+    )
 
     tag = f"{cfg.eval_dataset}_{cfg.strategy}_pred_{cfg.num_chunks}"
     temp_output_path = result_dir / f"{tag}_{cfg.chunk_idx}.jsonl"

@@ -52,6 +52,7 @@ class EvalConfig:
     skip_flops: bool = False
     batch_size: int = 1                             # questions per prefill (TPU batching win)
     allow_random_weights: bool = False              # random-init fallback (speed tests ONLY)
+    quantize_llm: bool = False                      # weight-only int8 LLM serving (fits 7B on one v5e)
     # fmt: on
 
 
@@ -72,7 +73,10 @@ def evaluate(cfg: EvalConfig) -> None:
 
     local_run = Path("runs") / str(cfg.model_path)
     src = str(local_run) if local_run.exists() else str(cfg.model_path)
-    vidlm, params, model_cfg = load_vid(src, get_model_cfg=True, allow_random_weights=cfg.allow_random_weights)
+    vidlm, params, model_cfg = load_vid(
+        src, get_model_cfg=True, allow_random_weights=cfg.allow_random_weights,
+        quantize_llm=cfg.quantize_llm,
+    )
 
     # FLOPs/params once per model (reference :96-100)
     flops_path = result_dir / "flops.json"
@@ -145,6 +149,7 @@ def evaluate(cfg: EvalConfig) -> None:
                         params, video_names, [p[0] for p in prepped],
                         num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
                         do_sample=cfg.do_sample, temperature=cfg.temperature,
+                        min_length=cfg.min_length,
                         clip_args=[p[1] for p in prepped],
                     )
                 except Exception as e:

@@ -135,6 +135,10 @@ def test_dispatch_plan_pins_model_paths():
     assert plan(261, 261, 64, causal=False, self_shaped=False) == "xla"
     # ViViT's 3137-token video sequence: library flash (odd head dim, long T)
     assert plan(3137, 3137, 64, causal=False) == "library"
+    # causal CROSS-length odd-D must NOT use the library kernel: its causal
+    # mask is top-left aligned, ours is right-aligned (offset Tk-Tq)
+    assert plan(2048, 4096, 64, causal=True) == "xla"
+    assert plan(2048, 4096, 64, causal=False) == "library"
     # long non-causal with MXU-aligned head dim: our kernel
     assert plan(4096, 4096, 128, causal=False) == "pallas"
     # decode step against the KV cache: XLA

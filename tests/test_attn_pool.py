@@ -72,7 +72,7 @@ def test_attn_pool_matches_hf_pooler():
         num_cls_tokens=0, pos_embed_includes_prefix=False, act="gelu_tanh",
         attn_pool=True, attn_pool_heads=4, attn_pool_mlp_ratio=2.0, attn_pool_act="gelu_tanh",
     )
-    params = import_vision_state_dict(cfg, model.state_dict())
+    params = import_vision_state_dict(cfg, model.state_dict(), require_attn_pool=False)
     params = _map_hf_head(params, model)
     vit = VisionTransformer(cfg)
 
