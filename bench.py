@@ -199,8 +199,10 @@ def main() -> None:
         layers, batch = (int(x) for x in os.environ["BENCH_SINGLE"].split(","))
         vps = run_bench(build_model(layers), batch=batch, text_len=64, loop_iters=8)
         note = "" if layers == 32 else f" (llm depth {layers}/32)"
+        towers = os.environ.get("BENCH_TOWERS", "merv")
+        desc = "merv-full 4-encoder" if towers == "merv" else f"{towers} tower-subset"
         print(json.dumps({
-            "metric": f"videos/sec/chip merv-full 4-encoder prefill{note}",
+            "metric": f"videos/sec/chip {desc} prefill{note}",
             "value": round(vps, 3), "unit": "videos/sec",
             "vs_baseline": round(vps / BASELINE_3090_VIDEOS_PER_SEC, 3),
         }))

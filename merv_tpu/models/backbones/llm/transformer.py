@@ -289,7 +289,15 @@ class LlamaDecoder:
                     positions = jnp.maximum(jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0)
                 else:
                     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-            kv_mask = None if attention_mask is None else attention_mask.astype(bool)
+            # Causal self-attention + the decoder's RIGHT-padding contract
+            # (collator, generation, embed_multimodal all right-pad; positions
+            # above assume it too) make the kv padding mask redundant: query i
+            # attends keys j <= i, and every padded key sits after every valid
+            # query, so no valid position can attend a pad. Dropping it lets
+            # the flash kernels run their segment-free causal fast path.
+            # Padded rows compute garbage that loss (IGNORE labels) and logit
+            # readers (last-valid gather) never consume.
+            kv_mask = None
 
         cos_sin = _rope_tables(c, positions, h.dtype)
 

@@ -461,10 +461,17 @@ def _library_flash_padded(q, k, v, causal, scale, kv_mask):
     q = jnp.pad(q, ((0, 0), (0, 0), (0, Tq_p - Tq), (0, 0)))
     k = jnp.pad(k, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, 0)))
     v = jnp.pad(v, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, 0)))
-    qseg = (jax.lax.broadcasted_iota(jnp.int32, (B, Tq_p), 1) < Tq).astype(jnp.int32)
-    kvseg = (jax.lax.broadcasted_iota(jnp.int32, (B, Tk_p), 1) < Tk).astype(jnp.int32)
-    if kv_mask is not None:
-        kvseg = kvseg * jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, Tk_p - Tk)))
+    if kv_mask is None and (causal or (Tq_p == Tq and Tk_p == Tk)):
+        # no segment ids at all: under causality (Tq == Tk, offset 0) every
+        # padded key sits after every valid query, so causal masking already
+        # excludes the padding — the kernel runs its segment-free fast path.
+        # Padded q rows compute garbage and are sliced off below.
+        qseg = kvseg = None
+    else:
+        qseg = (jax.lax.broadcasted_iota(jnp.int32, (B, Tq_p), 1) < Tq).astype(jnp.int32)
+        kvseg = (jax.lax.broadcasted_iota(jnp.int32, (B, Tk_p), 1) < Tk).astype(jnp.int32)
+        if kv_mask is not None:
+            kvseg = kvseg * jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, Tk_p - Tk)))
     out = _library_flash_call(q, k, v, causal, scale, qseg, kvseg)
     return out[:, :, :Tq, :]
 
