@@ -157,46 +157,63 @@ def _flash_fwd_kernel(
     acc_init = jnp.zeros((bq, d), jnp.float32)
 
     num_kv_blocks = pl.cdiv(kv_len, block_k)
+    n_full = jnp.int32(0)
     if causal:
         # highest absolute q position in this block, relative to kv timeline
         q_end = (q_block_idx + 1) * bq + q_offset
         num_kv_blocks = jnp.minimum(num_kv_blocks, pl.cdiv(q_end, block_k))
+        if not use_mask:
+            # kv blocks whose every key precedes this q block's FIRST row are
+            # entirely below the causal diagonal: no iotas, no where, no
+            # valid-multiply needed. Only boundary blocks pay the mask work.
+            n_full = jnp.maximum((q_block_idx * bq + q_offset + 1) // block_k, 0)
+            n_full = jnp.minimum(n_full, num_kv_blocks)
+    elif not use_mask:
+        n_full = num_kv_blocks  # nothing to mask anywhere
 
-    def body(kv_i, carry):
-        m_prev, l_prev, acc_prev = carry
-        k_blk = k_ref[0, 0, pl.ds(kv_i * block_k, block_k), :]
-        v_blk = v_ref[0, 0, pl.ds(kv_i * block_k, block_k), :]
+    def make_body(masked: bool):
+        def body(kv_i, carry):
+            m_prev, l_prev, acc_prev = carry
+            k_blk = k_ref[0, 0, pl.ds(kv_i * block_k, block_k), :]
+            v_blk = v_ref[0, 0, pl.ds(kv_i * block_k, block_k), :]
 
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, block_k] fp32
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [bq, block_k] fp32
 
-        valid = jnp.ones((bq, block_k), jnp.bool_)
-        if use_mask:
-            kvm = mask_ref[batch_idx, kv_i, :]
-            valid = valid & (kvm > 0)[None, :]
-        if causal:
-            q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0) + q_block_idx * bq + q_offset
-            k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_i * block_k
-            valid = valid & (k_pos <= q_pos)
-        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+            if masked:
+                valid = jnp.ones((bq, block_k), jnp.bool_)
+                if use_mask:
+                    kvm = mask_ref[batch_idx, kv_i, :]
+                    valid = valid & (kvm > 0)[None, :]
+                if causal:
+                    q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0) + q_block_idx * bq + q_offset
+                    k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_i * block_k
+                    valid = valid & (k_pos <= q_pos)
+                s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        # exact zero at masked positions: exp(MASK - m) == 1 when a row is
-        # fully masked (m == MASK), which would corrupt l; the multiply keeps
-        # l == 0 there so the safe_l guard returns 0 output for such rows
-        p = jnp.exp(s - m_new) * valid.astype(jnp.float32)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        # p cast to the kv dtype (bf16) so the PV product also runs bf16 MXU
-        # passes; accumulation stays fp32 (standard flash-kernel precision).
-        acc_new = acc_prev * alpha + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc_new
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            if masked:
+                # exact zero at masked positions: exp(MASK - m) == 1 when a
+                # row is fully masked (m == MASK), which would corrupt l; the
+                # multiply keeps l == 0 there so the safe_l guard returns 0
+                p = p * valid.astype(jnp.float32)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            # p cast to the kv dtype (bf16) so the PV product also runs bf16
+            # MXU passes; accumulation stays fp32 (standard flash precision).
+            acc_new = acc_prev * alpha + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m_init, l_init, acc_init))
+        return body
+
+    carry = (m_init, l_init, acc_init)
+    carry = jax.lax.fori_loop(0, n_full, make_body(masked=False), carry)
+    m, l, acc = jax.lax.fori_loop(n_full, num_kv_blocks, make_body(masked=True), carry)
     # rows with no valid keys (fully masked) produce l=0 -> output 0
     safe_l = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0, :, :] = (acc / safe_l).astype(o_ref.dtype)
@@ -237,10 +254,15 @@ def _flash_forward(
     bq, nq = _tight_blocks(Tq, 16, block_q)
     bk, nk = _tight_blocks(Tk, 128, block_k)
 
-    # pad sequences to block multiples; padded keys masked via kv_mask
+    # pad sequences to block multiples; padded keys masked via kv_mask —
+    # EXCEPT under self-causal alignment (Tq == Tk, offset 0), where every
+    # padded key sits after every valid query: causality already excludes the
+    # padding, so the mask machinery can be skipped entirely (padded q rows
+    # compute garbage that is sliced off below).
     Tq_p = nq * bq
     Tk_p = nk * bk
-    use_mask = kv_mask is not None or Tk_p != Tk
+    self_causal = causal and q_offset is None and Tq == Tk
+    use_mask = kv_mask is not None or (Tk_p != Tk and not self_causal)
     if kv_mask is None:
         kv_mask_i = jnp.ones((B, Tk), jnp.int32)
     else:

@@ -266,3 +266,80 @@ def test_every_stage_string_freeze_and_handoff(tmp_path):
 
     with pytest.raises(AssertionError, match="not supported"):
         load_stage_weights(_model(), fresh, "bogus-stage", run_dir)
+
+
+def test_pretrain_cli_end_to_end(tmp_path, monkeypatch):
+    """The full user journey through the actual CLI entry point: pretrain()
+    (config plumbing, run-dir + config.json dump, stage hparam copy-up,
+    strategy setup, 2 align steps, checkpoint write) and then load_vid on
+    the produced run directory — the seam the strategy-level e2e test
+    skips. Reference flow: scripts/pretrain_video.py:140-281."""
+    import dataclasses as dc
+
+    import merv_tpu.models.load_vid as load_vid_mod
+    import scripts.pretrain_video as ptv
+    from merv_tpu.conf import DatasetConfig, ModelConfig, ModelRegistry
+
+    ann, media, _ = _write_fixture_dataset(tmp_path, n_video=4, n_image=2, n_text=2)
+
+    # tiny tower configs that scale to whatever image size the registry
+    # configures (4x4 patch grid at any resolution), so BOTH pretrain's and
+    # load_vid's real get_video_backbone_and_transform work unmodified
+    tiny_dino = tiny_vit_config(num_cls_tokens=1, num_register_tokens=4, use_layerscale=True)
+    tiny_sig = tiny_vit_config(num_cls_tokens=0, pos_embed_includes_prefix=False)
+
+    def scaled(tiny):
+        def prop(self):
+            return dataclasses.replace(
+                tiny, image_size=self.default_image_size, patch_size=self.default_image_size // 4
+            )
+
+        return property(prop)
+
+    monkeypatch.setattr(DinoV2VideoBackbone, "vit_config", scaled(tiny_dino))
+    monkeypatch.setattr(SiglipVideoBackbone, "vit_config", scaled(tiny_sig))
+
+    def fake_llm(llm_backbone_id, llm_max_length=2048, hf_token=None, inference_mode=False):
+        llm = tiny_llm_backbone()
+        return llm, llm.tokenizer
+
+    monkeypatch.setattr(ptv, "get_llm_backbone_and_tokenizer", fake_llm)
+    monkeypatch.setattr(load_vid_mod, "get_llm_backbone_and_tokenizer", fake_llm)
+
+    model_cfg = ModelConfig.get_choice_class(ModelRegistry.MERV_BASE.model_id)()
+    model_cfg = dc.replace(
+        model_cfg,
+        model_id="tiny-cli",
+        video_backbone_ids=["dinov2-video-all-tokens", "siglip-vit-b16-224px-all-no-cls"],
+        llm_backbone_id="llama2-7b-pure",
+        num_frames=[4, 4], projector_token_length=4, visual_feature_length=16,
+        align_epochs=1, align_max_steps=2, align_global_batch_size=8,
+        align_per_device_batch_size=1, align_train_strategy="fsdp-shard-grad-op",
+        align_learning_rate=1e-3,
+    )
+    ds_cfg = DatasetConfig.get_choice_class("videollava")(
+        dataset_root_dir=tmp_path,
+        align_stage_components=(ann.relative_to(tmp_path), media.relative_to(tmp_path)),
+        finetune_stage_components=(ann.relative_to(tmp_path), media.relative_to(tmp_path)),
+    )
+    cfg = ptv.PretrainConfig(
+        model=model_cfg, dataset=ds_cfg, stage="align",
+        run_root_dir=tmp_path / "runs", seed=7, trackers=("jsonl",),
+        save_checkpoint_after=512,
+    )
+    ptv.pretrain(cfg=cfg)
+
+    run_dir = tmp_path / "runs" / "tiny-cli+stage-align+x7"
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "checkpoints" / "latest-checkpoint").exists()
+    assert (run_dir / "run-metrics.jsonl").exists()
+
+    # the produced run dir round-trips through the inference loader; the
+    # monkeypatched scaled vit_config is still active so shapes match
+    vidlm, params, loaded_cfg = load_vid_mod.load_vid(
+        str(run_dir), get_model_cfg=True, allow_random_weights=True
+    )
+    assert loaded_cfg.model_id == "tiny-cli"
+    video = (np.random.rand(8, 48, 48, 3) * 255).astype(np.uint8)
+    out = vidlm.generate(params, video, "In: what?\nOut: ", num_frames=loaded_cfg.num_frames, max_new_tokens=3)
+    assert isinstance(out, str)
