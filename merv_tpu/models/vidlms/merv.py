@@ -66,6 +66,25 @@ Array = jax.Array
 PyTree = Any
 
 
+def _load_media(video, num_frames_max: int, **clip_kwargs):
+    """Path -> uint8 [T, H, W, C]: videos via load_video; ``.jpg`` images
+    inflated to a repeated-frame video exactly like the reference
+    (``merv.py:787-793`` checks ``".jpg" in video``; we also accept the
+    obvious siblings .jpeg/.png, which the reference's eval data never uses
+    but its frame-dir loaders produce)."""
+    import numpy as np
+
+    path = str(video)
+    if any(ext in path.lower() for ext in (".jpg", ".jpeg", ".png")):
+        from PIL import Image
+
+        image = np.asarray(Image.open(path).convert("RGB"))
+        return np.repeat(image[None], num_frames_max, axis=0)
+    from merv_tpu.preprocessing import load_video
+
+    return load_video(path, num_frames_max, **clip_kwargs)
+
+
 def _extract_frame_number(query: str) -> int:
     return int(re.search(r"frame(\d+)", query).group(1))
 
@@ -466,9 +485,7 @@ class MERV(VidLM):
                 is_mm.append(False)
                 continue
             if isinstance(video, str) or hasattr(video, "__fspath__"):
-                from merv_tpu.preprocessing import load_video
-
-                video = load_video(str(video), max(num_frames), **clip_args[b])
+                video = _load_media(video, max(num_frames), **clip_args[b])
             video = np.asarray(video)
             for e, (vb, nf) in enumerate(zip(self.video_backbones, num_frames)):
                 frames = subsample_frames(video, nf)
@@ -562,10 +579,8 @@ class MERV(VidLM):
             is_multimodal = jnp.zeros((1,), bool)
         else:
             if isinstance(video, (str,)) or hasattr(video, "__fspath__"):
-                from merv_tpu.preprocessing import load_video
-
-                video = load_video(
-                    str(video), max(num_frames),
+                video = _load_media(
+                    video, max(num_frames),
                     clip_start_sec=clip_start_sec, clip_end_sec=clip_end_sec, end_frame=end_frame,
                 )
             video = np.asarray(video)

@@ -251,3 +251,21 @@ def test_string2idx_single_tokens():
     s2i = m.string2idx
     assert set(["True", "False", "Yes", "No", "A", "Z"]).issubset(s2i.keys())
     assert all(isinstance(v, int) for v in s2i.values())
+
+
+def test_generate_from_jpg_image(tmp_path):
+    """A ``.jpg`` path is inflated to a repeated-frame video exactly like the
+    reference (merv.py:787-793) — image QA goes through the same multimodal
+    forward as video."""
+    from PIL import Image
+
+    m = _make_merv()
+    params = m.init(KEY)
+    img = tmp_path / "frame.jpg"
+    Image.fromarray((np.random.rand(40, 44, 3) * 255).astype(np.uint8)).save(img)
+    text = m.generate(params, str(img), "In: what?\nOut: ", max_new_tokens=3)
+    assert isinstance(text, str)
+    # batched path accepts a mix of image path / raw video / text-only
+    video = (np.random.rand(8, 32, 32, 3) * 255).astype(np.uint8)
+    outs = m.generate_batch(params, [str(img), video, None], ["In: a?\nOut: "] * 3, max_new_tokens=3)
+    assert len(outs) == 3 and all(isinstance(o, str) for o in outs)
