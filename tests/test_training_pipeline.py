@@ -343,3 +343,58 @@ def test_pretrain_cli_end_to_end(tmp_path, monkeypatch):
     video = (np.random.rand(8, 48, 48, 3) * 255).astype(np.uint8)
     out = vidlm.generate(params, video, "In: what?\nOut: ", num_frames=loaded_cfg.num_frames, max_new_tokens=3)
     assert isinstance(out, str)
+
+
+def test_resume_fast_forward_continues_run(tmp_path, mesh8):
+    """Interrupt-and-resume (reference base_strategy.py:191-202): train 2
+    steps with a checkpoint each step, then resume a fresh strategy from the
+    step-1 checkpoint and finish — the resumed loop must fast-forward
+    consumed batches, continue the global step counter, and end at the same
+    final step as the uninterrupted run."""
+    from merv_tpu.training import Metrics, get_train_strategy
+    from merv_tpu.training.checkpointing import load_checkpoint
+
+    model = _model()
+    model.freeze_backbones("align")
+    ann, media, _ = _write_fixture_dataset(tmp_path)
+    transforms = [vb.get_video_transform() for vb in model.video_backbones]
+    num_frames = [vb.num_frames for vb in model.video_backbones]
+    ds = AlignVideoDataset(ann, media, media, transforms, model.llm_backbone.tokenizer, num_frames=num_frames)
+    collator = PaddedCollatorForLanguageModeling(
+        32, model.llm_backbone.pad_token_id, host_video_resolutions(transforms, num_frames)
+    )
+
+    def make_strategy():
+        return get_train_strategy(
+            "fsdp-full-shard", model, stage="align", epochs=1, max_steps=2,
+            global_batch_size=8, per_device_batch_size=1,
+            learning_rate=1e-3, weight_decay=0.0, max_grad_norm=1.0,
+            mesh=mesh8, save_checkpoint_after=1,  # checkpoint EVERY step
+        )
+
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    s1 = make_strategy()
+    s1.run_setup(run_dir, n_train_examples=len(ds), video_transforms=transforms, seed=0)
+    metrics = Metrics(("jsonl",), "r", run_dir, {}, "align", grad_accumulation_steps=1, total_steps=2)
+    s1.run_training(ds, collator, metrics, stage="align", seed=0, run_dir=run_dir)
+    metrics.finalize()
+
+    step1 = next(p for p in (run_dir / "checkpoints").glob("step-000001*") if p.is_dir())
+    final = load_checkpoint((run_dir / "checkpoints") / "latest-checkpoint")
+    assert final["step"] == 2
+
+    # fresh process: resume from step 1 and run to completion
+    run_dir2 = tmp_path / "run2"
+    run_dir2.mkdir()
+    s2 = make_strategy()
+    s2.run_setup(
+        run_dir2, n_train_examples=len(ds), video_transforms=transforms,
+        resume_from_checkpoint=step1, seed=0,
+    )
+    assert s2._resume_step == 1
+    metrics2 = Metrics(("jsonl",), "r2", run_dir2, {}, "align", grad_accumulation_steps=1, total_steps=2)
+    s2.run_training(ds, collator, metrics2, stage="align", seed=0, run_dir=run_dir2)
+    metrics2.finalize()
+    resumed = load_checkpoint((run_dir2 / "checkpoints") / "latest-checkpoint")
+    assert resumed["step"] == 2
