@@ -201,10 +201,14 @@ def main() -> None:
         note = "" if layers == 32 else f" (llm depth {layers}/32)"
         towers = os.environ.get("BENCH_TOWERS", "merv")
         desc = "merv-full 4-encoder" if towers == "merv" else f"{towers} tower-subset"
+        # the analytic 3090 anchor models the FULL 4-encoder workload; a
+        # subset config does less work per video, so a ratio against it would
+        # overstate the speedup — report 0.0 (= no comparable baseline)
+        vs = round(vps / BASELINE_3090_VIDEOS_PER_SEC, 3) if towers == "merv" else 0.0
         print(json.dumps({
             "metric": f"videos/sec/chip {desc} prefill{note}",
             "value": round(vps, 3), "unit": "videos/sec",
-            "vs_baseline": round(vps / BASELINE_3090_VIDEOS_PER_SEC, 3),
+            "vs_baseline": vs,
         }))
         return
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import math
 import re
+from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -75,7 +76,9 @@ def _load_media(video, num_frames_max: int, **clip_kwargs):
     import numpy as np
 
     path = str(video)
-    if any(ext in path.lower() for ext in (".jpg", ".jpeg", ".png")):
+    # route by the actual file EXTENSION, not a substring ('clip.jpg.mp4' or
+    # a dir named 'frames.png_v1' must stay on the video path)
+    if Path(path).suffix.lower() in (".jpg", ".jpeg", ".png"):
         from PIL import Image
 
         image = np.asarray(Image.open(path).convert("RGB"))

@@ -8,7 +8,7 @@ workers are needed to keep up with the measured device prefill rate — the
 check that the pipeline (reference: decord + 2 torch workers,
 ``merv/preprocessing/datasets/datasets.py:344-354``) does not starve the TPU.
 
-Usage: python scripts/bench_loader.py [--seconds 10]
+Usage: python scripts/bench_loader.py [--seconds 10] (measurement window)
 """
 
 from __future__ import annotations
@@ -51,8 +51,14 @@ def make_fixture(path: Path, seconds: int = 10, fps: int = 30, size: int = 320) 
 
 
 def main() -> None:
+    import argparse
+
     from merv_tpu.models.materialize import get_video_backbone_and_transform
     from merv_tpu.preprocessing.video_io import load_video
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=10.0, help="measurement window")
+    args = ap.parse_args()
 
     fixture = make_fixture(Path(os.environ.get("BENCH_LOADER_VIDEO", "/tmp/bench_loader.mp4")))
 
@@ -76,7 +82,7 @@ def main() -> None:
     one_sample()  # warm caches (decoder index, any lazy init)
     n = 0
     t0 = time.perf_counter()
-    while (dt := time.perf_counter() - t0) < 10.0:
+    while (dt := time.perf_counter() - t0) < args.seconds:
         one_sample()
         n += 1
     rate = n / dt

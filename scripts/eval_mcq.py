@@ -18,6 +18,13 @@ import glob
 import json
 import math
 import os
+
+import jax
+
+# persistent compile cache: full-model programs take minutes to compile cold;
+# repeat runs (chunk-parallel eval shards, repeated benches) hit the cache
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Union
