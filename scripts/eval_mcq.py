@@ -32,6 +32,7 @@ from typing import Optional, Union
 import merv_tpu.conf.registry as draccus
 from merv_tpu.models.load_vid import load_vid
 from merv_tpu.overwatch import initialize_overwatch
+from merv_tpu.util.prefetch import prefetch_map
 
 overwatch = initialize_overwatch(__name__)
 
@@ -151,34 +152,56 @@ def evaluate(cfg: EvalConfig) -> None:
         )
         return prompt_builder.get_prompt(), answer_char, question_text, clip, letters
 
+    def _decode_group(group):
+        """Host-side resolve + decode, run ahead of the device by
+        prefetch_map (group N+1 decodes while group N computes)."""
+        from merv_tpu.models.vidlms.merv import _load_media
+
+        arrays = []
+        for q in group:
+            clip = _prep(q)[3]
+            name = _resolve_video(benchmark_dir, q["video_name"])
+            arrays.append(_load_media(name, max(model_cfg.num_frames), **clip))
+        return arrays
+
+    groups = [questions[s : s + cfg.batch_size] for s in range(0, len(questions), cfg.batch_size)]
+    overlap = cfg.batch_size > 1 or cfg.strategy == "likelihood"
+    decoded_iter = prefetch_map(groups, _decode_group) if overlap else ((g, None) for g in groups)
+
     with open(temp_output_path, "w") as f:
-        for start in range(0, len(questions), cfg.batch_size):
-            group = questions[start : start + cfg.batch_size]
+        for start, (group, decoded) in zip(range(0, len(questions), cfg.batch_size), decoded_iter):
             prepped = [_prep(q) for q in group]
-            video_names = [_resolve_video(benchmark_dir, q["video_name"]) for q in group]
+            if isinstance(decoded, Exception):
+                # decode failure: fall back to path-based per-group loading
+                overwatch.error(f"Prefetch decode failed ({type(decoded).__name__}: {decoded}); reloading inline")
+                decoded = None
+            videos = decoded if decoded is not None else [
+                _resolve_video(benchmark_dir, q["video_name"]) for q in group
+            ]
+            clip_args = None if decoded is not None else [p[3] for p in prepped]
 
             if cfg.strategy == "likelihood":
                 # one batched prefill, answer read from letter-token logits
                 preds = vidlm.score_options(
-                    params, video_names, [p[0] for p in prepped], [p[4] for p in prepped],
-                    num_frames=model_cfg.num_frames, clip_args=[p[3] for p in prepped],
+                    params, videos, [p[0] for p in prepped], [p[4] for p in prepped],
+                    num_frames=model_cfg.num_frames, clip_args=clip_args,
                 )
             elif cfg.batch_size == 1:
                 q, (prompt_text, answer_char, question_text, clip, _) = group[0], prepped[0]
                 preds = [
                     vidlm.generate(
-                        params, video_names[0], prompt_text,
+                        params, videos[0], prompt_text,
                         do_sample=cfg.do_sample, temperature=cfg.temperature,
                         max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
-                        num_frames=model_cfg.num_frames, **clip,
+                        num_frames=model_cfg.num_frames, **(clip if decoded is None else {}),
                     )
                 ]
             else:
                 preds = vidlm.generate_batch(
-                    params, video_names, [p[0] for p in prepped],
+                    params, videos, [p[0] for p in prepped],
                     num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
                     do_sample=cfg.do_sample, temperature=cfg.temperature,
-                    clip_args=[p[3] for p in prepped],
+                    min_length=cfg.min_length, clip_args=clip_args,
                 )
 
             for question, (_, answer_char, question_text, _, _), pred in zip(group, prepped, preds):

@@ -33,6 +33,7 @@ import merv_tpu.conf.registry as draccus
 from merv_tpu.models.load_vid import load_vid
 from merv_tpu.overwatch import initialize_overwatch
 from merv_tpu.util.flops_utils import get_statistics
+from merv_tpu.util.prefetch import prefetch_map
 
 from scripts.eval_mcq import _resolve_video, get_chunk
 
@@ -139,11 +140,29 @@ def evaluate(cfg: EvalConfig) -> None:
             num_frames=model_cfg.num_frames, **clip,
         )
 
+    def _decode_group(group):
+        """Host-side: resolve + decode the group's videos to uint8 arrays.
+        Runs ahead of the device in prefetch_map threads, so group N+1
+        decodes while group N generates."""
+        from merv_tpu.models.vidlms.merv import _load_media
+
+        arrays = []
+        for q in group:
+            clip = _prep(q)[1]
+            name = _resolve_video(benchmark_dir, q["video_name"])
+            arrays.append(_load_media(name, max(model_cfg.num_frames), **clip))
+        return arrays
+
+    groups = [questions[s : s + cfg.batch_size] for s in range(0, len(questions), cfg.batch_size)]
+    decoded_iter = (
+        prefetch_map(groups, _decode_group) if cfg.batch_size > 1
+        else ((g, None) for g in groups)
+    )
+
     with open(temp_output_path, "w") as f:
         for line in done_lines:  # re-emit carried-over results
             f.write(line if line.endswith("\n") else line + "\n")
-        for start in range(0, len(questions), cfg.batch_size):
-            group = questions[start : start + cfg.batch_size]
+        for start, (group, decoded) in zip(range(0, len(questions), cfg.batch_size), decoded_iter):
             prepped = [_prep(q) for q in group]
             preds = [None] * len(group)
             if cfg.batch_size > 1:
@@ -151,13 +170,13 @@ def evaluate(cfg: EvalConfig) -> None:
                 # win as eval_mcq); video failures fall back to the per-item
                 # path below so one corrupt file never drops the whole group
                 try:
-                    video_names = [_resolve_video(benchmark_dir, q["video_name"]) for q in group]
+                    if isinstance(decoded, Exception):
+                        raise decoded
                     preds = vidlm.generate_batch(
-                        params, video_names, [p[0] for p in prepped],
+                        params, decoded, [p[0] for p in prepped],
                         num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
                         do_sample=cfg.do_sample, temperature=cfg.temperature,
                         min_length=cfg.min_length,
-                        clip_args=[p[1] for p in prepped],
                     )
                 except Exception as e:
                     overwatch.error(f"Batched generate failed ({type(e).__name__}: {e}); retrying per-item")

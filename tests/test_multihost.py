@@ -141,3 +141,25 @@ def test_put_batch_single_host_no_accum(mesh8):
     out = bs.TrainingStrategy._put_batch(strat, batch)
     assert out["input_ids"].shape == (8, 4)
     assert out["video_values"][0].shape == (8, 3, 2, 8, 8)
+
+
+def test_prefetch_map_order_and_error_capture():
+    """prefetch_map yields results in submission order, keeps the pipeline
+    full, and RETURNS exceptions instead of raising (per-item fallback)."""
+    import time as _time
+
+    from merv_tpu.util.prefetch import prefetch_map
+
+    def work(x):
+        _time.sleep(0.01 * (5 - x % 5))  # out-of-order completion
+        if x == 3:
+            raise ValueError("bad item")
+        return x * 10
+
+    out = list(prefetch_map(range(8), work, lookahead=3, max_workers=4))
+    assert [item for item, _ in out] == list(range(8))
+    for item, res in out:
+        if item == 3:
+            assert isinstance(res, ValueError)
+        else:
+            assert res == item * 10
