@@ -37,6 +37,50 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+# -- async checkpointing (Orbax AsyncCheckpointer) --------------------------------
+# The finetune stage's trainables are the full 7B LLM + projectors: a blocking
+# save stalls the train loop for the entire serialize+write every
+# `save_checkpoint_after` steps. The async path returns as soon as the device
+# arrays are snapshotted to host; the write happens in a background thread.
+# meta.json and the `latest-checkpoint` pointer are deferred until the write
+# COMMITS (wait_for_checkpoints) so a crash mid-write can never leave
+# `latest-checkpoint` pointing at a torn directory.
+_async_ckptr = None
+_pending: Optional[Tuple[Path, Dict[str, Any]]] = None
+
+
+def _async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def _finalize(target: Path, meta: Dict[str, Any]) -> None:
+    with open(target / "meta.json", "w") as f:
+        json.dump(meta, f)
+    latest = target.parent / "latest-checkpoint"
+    if latest.is_symlink() or latest.exists():
+        latest.unlink() if latest.is_symlink() else shutil.rmtree(latest)
+    latest.symlink_to(target.name)
+    overwatch.info(f"Saved checkpoint {target}")
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async save commits, then finalize its
+    meta.json + latest-checkpoint pointer. Call before reading a checkpoint
+    just saved async, and at the end of training."""
+    global _pending
+    if _pending is None:
+        return
+    target, meta = _pending
+    _pending = None
+    _async_checkpointer().wait_until_finished()
+    _finalize(target, meta)
+
+
 def save_checkpoint(
     run_dir: Path,
     step: int,
@@ -46,8 +90,15 @@ def save_checkpoint(
     trainable_keys: List[str],
     opt_state: Optional[PyTree] = None,
     only_trainable: bool = True,
+    blocking: bool = True,
 ) -> Path:
-    """Write `checkpoints/step-...-loss=.../` + refresh `latest-checkpoint`."""
+    """Write `checkpoints/step-...-loss=.../` + refresh `latest-checkpoint`.
+
+    ``blocking=False`` hands the write to a background thread (at most one in
+    flight: a new save first waits for the previous) and defers meta/pointer
+    finalization to :func:`wait_for_checkpoints` / the next save.
+    """
+    global _pending
     ckpt_root = Path(run_dir) / "checkpoints"
     ckpt_root.mkdir(parents=True, exist_ok=True)
     name = f"step-{step:06d}-epoch-{epoch:02d}-loss={loss:.4f}"
@@ -58,19 +109,22 @@ def save_checkpoint(
     if opt_state is not None:
         tree["optimizer"] = opt_state
 
+    meta = {"step": step, "epoch": epoch, "loss": loss, "module_keys": sorted(model.keys())}
+    if not blocking:
+        wait_for_checkpoints()  # serialize in-flight saves; finalizes the previous one
+        if target.exists():
+            shutil.rmtree(target)
+        _async_checkpointer().save(target.resolve(), tree)
+        _pending = (target, meta)
+        overwatch.info(f"Async checkpoint {target} dispatched", ctx_level=1)
+        return target
+
     ckptr = _checkpointer()
     if target.exists():
         shutil.rmtree(target)
     ckptr.save(target.resolve(), tree)
     ckptr.wait_until_finished()
-    with open(target / "meta.json", "w") as f:
-        json.dump({"step": step, "epoch": epoch, "loss": loss, "module_keys": sorted(model.keys())}, f)
-
-    latest = ckpt_root / "latest-checkpoint"
-    if latest.is_symlink() or latest.exists():
-        latest.unlink() if latest.is_symlink() else shutil.rmtree(latest)
-    latest.symlink_to(target.name)
-    overwatch.info(f"Saved checkpoint {target}")
+    _finalize(target, meta)
     return target
 
 

@@ -159,11 +159,14 @@ class TrainingStrategy(ABC):
 
     # -- checkpointing -----------------------------------------------------------
 
-    def save_checkpoint(self, run_dir: Path, global_step: int, epoch: int, train_loss: Optional[float] = None) -> None:
+    def save_checkpoint(
+        self, run_dir: Path, global_step: int, epoch: int, train_loss: Optional[float] = None,
+        blocking: bool = True,
+    ) -> None:
         save_checkpoint(
             run_dir, global_step, epoch, train_loss if train_loss is not None else 0.0,
             self.state.params, self.vidlm.trainable_module_keys or ["projectors", "feature_fusion"],
-            opt_state=self.state.opt_state,
+            opt_state=self.state.opt_state, blocking=blocking,
         )
 
     def load_checkpoint(self, checkpoint_path: Path) -> None:
@@ -310,7 +313,9 @@ class TrainingStrategy(ABC):
 
                 if run_dir is not None and global_step % self.save_checkpoint_after == 0:
                     drain_pending()
-                    self.save_checkpoint(run_dir, global_step, epoch, loss)
+                    # async: training resumes as soon as arrays are snapshotted
+                    # to host; the write commits in a background thread
+                    self.save_checkpoint(run_dir, global_step, epoch, loss, blocking=False)
 
                 if self.max_steps is not None and global_step >= self.max_steps:
                     done = True
@@ -318,7 +323,12 @@ class TrainingStrategy(ABC):
             drain_pending()
             if run_dir is not None:
                 # end-of-epoch checkpoints record the NEXT epoch so resume
-                # does not replay the epoch that just completed
+                # does not replay the epoch that just completed (blocking: the
+                # run may end right after, and it also commits any in-flight
+                # async periodic save first)
+                from merv_tpu.training.checkpointing import wait_for_checkpoints
+
+                wait_for_checkpoints()
                 self.save_checkpoint(run_dir, global_step, epoch + 1, loss)
             if done:
                 break

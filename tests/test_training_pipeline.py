@@ -398,3 +398,29 @@ def test_resume_fast_forward_continues_run(tmp_path, mesh8):
     metrics2.finalize()
     resumed = load_checkpoint((run_dir2 / "checkpoints") / "latest-checkpoint")
     assert resumed["step"] == 2
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async (non-blocking) save defers meta/latest finalization until the
+    write commits; wait_for_checkpoints makes it readable and load matches."""
+    from merv_tpu.training.checkpointing import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    model = _model()
+    params = model.init(KEY)
+    target = save_checkpoint(
+        tmp_path, 3, 0, 1.5, params, ["projectors", "feature_fusion"], blocking=False
+    )
+    wait_for_checkpoints()
+    assert (target / "meta.json").exists()
+    assert latest_checkpoint(tmp_path).name == target.name
+    restored = load_checkpoint(target)
+    assert restored["step"] == 3
+    a = jax.tree_util.tree_leaves(params["projectors"])
+    b = jax.tree_util.tree_leaves(restored["model"]["projectors"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
