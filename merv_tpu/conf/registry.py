@@ -376,6 +376,13 @@ def wrap() -> Callable:
         sig = inspect.signature(fn)
         (param,) = [p for p in sig.parameters.values() if p.default is inspect.Parameter.empty or True][:1]
         config_class = param.annotation
+        if isinstance(config_class, str):
+            # `from __future__ import annotations` (every script here) makes
+            # the annotation a STRING — resolve it against the function's
+            # module, or CLI invocation of every entry point crashes
+            import typing
+
+            config_class = typing.get_type_hints(fn)[param.name]
 
         @functools.wraps(fn)
         def wrapper(cfg: Any = None, args: Optional[List[str]] = None):

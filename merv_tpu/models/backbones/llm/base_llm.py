@@ -118,7 +118,16 @@ class LLMBackbone:
 
     @property
     def decoder_config(self) -> DecoderConfig:
-        return self.spec.decoder_config
+        cfg = self.spec.decoder_config
+        if self.inference_mode:
+            # serving stores params in half precision (the reference's
+            # inference-mode + autocast contract, base_llm.py:130-138): a 7B
+            # fp32 tree is 27 GB and does not even fit a 16 GB chip, let
+            # alone beside the KV cache
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, param_dtype=self.spec.half_precision_dtype)
+        return cfg
 
     @property
     def decoder(self) -> LlamaDecoder:

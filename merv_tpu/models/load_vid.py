@@ -162,26 +162,44 @@ def load_vid(
     )
 
     # === assemble params: checkpoint (trainables) + pretrained towers/LLM ===
+    # Order and fusion are HBM-critical on a 16 GB chip: the 7B LLM is
+    # assembled FIRST and in ONE donated jit (cast -> pack -> quantize, with
+    # random-init traced inside when weights are missing) so XLA's liveness
+    # analysis frees every intermediate — a chain of separate jits holds full
+    # input+output trees simultaneously (2 x 13.4 GB) and OOMs. Towers load
+    # after, beside the final (possibly int8-halved) LLM tree.
+    import jax.numpy as jnp
+
     key = jax.random.PRNGKey(7)
     if str(checkpoint).endswith(".pt"):
         restored = import_merv_checkpoint(vidlm, checkpoint)
     else:
         restored = load_checkpoint(Path(checkpoint))["model"]
 
-    params: Dict[str, Any] = {
-        "projectors": restored["projectors"],
-        "feature_fusion": restored.get("feature_fusion", {}),
-        "video_backbones": _load_tower_params(vidlm, key, allow_random_weights),
-    }
-    if "llm_backbone" in restored:
-        params["llm_backbone"] = restored["llm_backbone"]
-    else:
+    def _assemble_llm(tree):
+        """cast to serving dtype -> packed layout -> int8; traced as ONE program."""
+        serve_dtype = llm_backbone.half_precision_dtype
+        tree = jax.tree_util.tree_map(
+            lambda x: x.astype(serve_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+        )
+        if pack_llm:
+            from merv_tpu.models.backbones.llm.transformer import pack_serving_params
+
+            tree = pack_serving_params(tree)
+        if quantize_llm:
+            from merv_tpu.nn.quantization import quantize_tree
+
+            tree = quantize_tree(tree)
+        return tree
+
+    llm_source = restored.get("llm_backbone")
+    if llm_source is None:
         try:
             from merv_tpu.models.backbones.llm.hf_import import load_safetensors_dir
 
             llm_dir = os.environ.get("MERV_TPU_LLM_DIR")
             assert llm_dir, "set MERV_TPU_LLM_DIR to a local safetensors dir for base LLM weights"
-            params["llm_backbone"] = llm_backbone.load_state_dict(load_safetensors_dir(Path(llm_dir)))
+            llm_source = llm_backbone.load_state_dict(load_safetensors_dir(Path(llm_dir)))
         except Exception as e:
             if not allow_random_weights:
                 raise RuntimeError(
@@ -193,16 +211,30 @@ def load_vid(
                 f"Base LLM weights unavailable ({type(e).__name__}); RANDOM init — outputs are "
                 f"meaningless (structure/speed testing only)", ctx_level=1
             )
-            params["llm_backbone"] = llm_backbone.init(key)
 
-    if pack_llm:
-        from merv_tpu.models.backbones.llm.transformer import pack_serving_params
+    if llm_source is None:
+        # random fallback: init INSIDE the assemble jit — the bf16 tree is a
+        # liveness-managed transient, never a held buffer
+        llm_params = jax.jit(lambda k: _assemble_llm(llm_backbone.decoder.init(k)))(key)
+    else:
+        llm_params = jax.jit(_assemble_llm, donate_argnums=0)(llm_source)
+        del llm_source
 
-        params["llm_backbone"] = jax.jit(pack_serving_params)(params["llm_backbone"])
-    if quantize_llm:
-        from merv_tpu.nn.quantization import quantize_tree
-
-        params["llm_backbone"] = jax.jit(quantize_tree)(params["llm_backbone"])
+    params: Dict[str, Any] = {
+        "projectors": restored["projectors"],
+        "feature_fusion": restored.get("feature_fusion", {}),
+        "llm_backbone": llm_params,
+        "video_backbones": _load_tower_params(vidlm, key, allow_random_weights),
+    }
+    for i, vb in enumerate(vidlm.video_backbones):
+        # frozen towers hard-cast to half precision, the reference's
+        # `.to(half_precision_dtype)` contract (fsdp.py:212-230)
+        params["video_backbones"][str(i)] = jax.jit(
+            lambda t, d=vb.half_precision_dtype: jax.tree_util.tree_map(
+                lambda x: x.astype(d) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+            ),
+            donate_argnums=0,
+        )(params["video_backbones"][str(i)])
 
     if get_model_cfg:
         return vidlm, params, model_cfg

@@ -157,11 +157,31 @@ def load_checkpoint(
     ``target`` (an abstract/eval_shape'd tree of the same structure) restores
     exact dtypes/structures incl. optax namedtuples; without it, plain nested
     dicts of arrays are returned (fine for model-only loads).
+
+    Checkpoints are PORTABLE across platforms: Orbax records the saving
+    devices' shardings, so a no-target restore of a CPU-saved checkpoint on
+    TPU (or vice versa) would fail with "Device ... not found"; when that
+    happens we rebuild an abstract target from the checkpoint metadata with
+    the current default device and retry.
     """
     path = Path(path).resolve()
     ckptr = _checkpointer()
-    tree = ckptr.restore(path, target) if target is not None else ckptr.restore(path)
     step, epoch = parse_checkpoint_name(path)
+    try:
+        tree = ckptr.restore(path, target) if target is not None else ckptr.restore(path)
+    except ValueError as e:
+        if "not found in jax.local_devices" not in str(e):
+            raise
+        import jax as _jax
+        from jax.sharding import SingleDeviceSharding
+
+        meta_tree = target if target is not None else ckptr.metadata(path).item_metadata.tree
+        sharding = SingleDeviceSharding(_jax.local_devices()[0])
+        abstract = _jax.tree_util.tree_map(
+            lambda m: _jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            meta_tree,
+        )
+        tree = ckptr.restore(path, abstract)
     out = dict(tree)
     out["step"], out["epoch"] = step, epoch
     return out

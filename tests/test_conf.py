@@ -80,3 +80,23 @@ def test_cli_overrides():
     assert cfg.model.num_frames == [8, 8, 16, 8]
     assert cfg.model.align_learning_rate == 5e-4
     assert cfg.seed == 42
+
+
+def test_cli_entry_points_parse_string_annotations():
+    """Every script uses `from __future__ import annotations`, so the
+    @wrap()-ed entry point's config annotation arrives as a STRING — the
+    decorator must resolve it or `python scripts/<any>.py --help` crashes
+    (it did: tests had only ever passed cfg= directly, bypassing the CLI)."""
+    import pytest
+
+    import scripts.eval_mcq as mcq
+    import scripts.eval_openended as oe
+    import scripts.pretrain_video as ptv
+
+    for entry in (mcq.evaluate, oe.evaluate, ptv.pretrain):
+        with pytest.raises(SystemExit):  # --help prints and exits cleanly
+            entry(args=["--help"])
+
+    # a real flag round-trips through the CLI parser into the dataclass
+    with pytest.raises(FileNotFoundError):
+        mcq.evaluate(args=["--eval_dataset", "no_such_dataset", "--batch_size", "2"])
