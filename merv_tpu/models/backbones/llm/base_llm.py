@@ -17,9 +17,12 @@ a :class:`LLMBackbone` bundling
   ``qwen2.py:49-50``); qwen2.5 has **no BOS token** (handled by
   ``bos_token_length==0`` in the VidLM forward, reference ``merv.py:521``).
 
-There is no "inference_mode" empty-init distinction: functional params are
-always materialized explicitly (random ``init`` or checkpoint import), so the
-reference's meta-device dance (``base_llm.py:130-133``) has no analogue.
+There is no "inference_mode" empty-init distinction for MATERIALIZATION:
+functional params are always created explicitly (random ``init`` or checkpoint
+import), so the reference's meta-device dance (``base_llm.py:130-133``) has no
+analogue. ``inference_mode=True`` does change the PARAM DTYPE to half
+precision (the reference's autocast/`.to(half)` serving contract): a 7B fp32
+tree is 27 GB and cannot exist on a 16 GB serving chip.
 """
 
 from __future__ import annotations
@@ -202,6 +205,7 @@ def tiny_llm_backbone(
     llm_backbone_id: str = "tiny-pure",
     prompt_builder_cls: Type[PromptBuilder] = PurePromptBuilder,
     has_bos: bool = True,
+    inference_mode: bool = False,
     **config_overrides: Any,
 ) -> LLMBackbone:
     """Small random LLM backbone with the ByteTokenizer (tests/benchmarks)."""
@@ -215,4 +219,7 @@ def tiny_llm_backbone(
         pad_token_id=0,
         eos_token_id=2,
     )
-    return LLMBackbone(llm_backbone_id, llm_max_length=cfg.max_position_embeddings, spec=spec)
+    return LLMBackbone(
+        llm_backbone_id, llm_max_length=cfg.max_position_embeddings, spec=spec,
+        inference_mode=inference_mode,
+    )

@@ -247,3 +247,18 @@ def test_min_length_suppresses_eos():
     )
     out = np.asarray(toks[0])
     assert all(t != eos for t in out[:3]), (out, eos)
+
+
+def test_inference_mode_serves_half_precision():
+    """inference_mode backbones must init/store params in half precision —
+    a 7B fp32 tree is 27 GB and cannot exist on a 16 GB serving chip."""
+    from merv_tpu.models.backbones.llm.base_llm import tiny_llm_backbone
+
+    serving = tiny_llm_backbone(inference_mode=True)
+    training = tiny_llm_backbone()
+    assert serving.decoder_config.param_dtype == serving.half_precision_dtype
+    p = serving.init(jax.random.PRNGKey(0))
+    leaf = jax.tree_util.tree_leaves(p)[0]
+    assert leaf.dtype == serving.half_precision_dtype
+    # training keeps full precision for optimizer masters
+    assert training.decoder_config.param_dtype == jnp.float32
