@@ -25,10 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compile cache: full-model programs take minutes to compile
-# through the remote-compile tunnel; repeat bench runs hit the cache
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from merv_tpu.util.cache import enable_compile_cache
+
+enable_compile_cache()
 
 BASELINE_3090_VIDEOS_PER_SEC = 1.0  # analytic estimate, see module docstring
 

@@ -217,6 +217,22 @@ def load_vid(
         # liveness-managed transient, never a held buffer
         llm_params = jax.jit(lambda k: _assemble_llm(llm_backbone.decoder.init(k)))(key)
     else:
+        # host-resident sources (CPU-restored checkpoints, numpy state dicts)
+        # downcast ON HOST before the device transfer — uploading an fp32 7B
+        # tree (27 GB) would OOM HBM before the assemble jit could cast it
+        import numpy as np
+
+        backend = jax.default_backend()
+
+        def _host_half(x):
+            if isinstance(x, jax.Array) and next(iter(x.devices())).platform == backend:
+                return x  # already on the accelerator; the assemble jit casts it
+            arr = np.asarray(x)  # host view — never a device transfer here
+            if not jnp.issubdtype(arr.dtype, jnp.floating):
+                return arr
+            return arr.astype(llm_backbone.half_precision_dtype)
+
+        llm_source = jax.tree_util.tree_map(_host_half, llm_source)
         llm_params = jax.jit(_assemble_llm, donate_argnums=0)(llm_source)
         del llm_source
 

@@ -110,8 +110,11 @@ def save_checkpoint(
         tree["optimizer"] = opt_state
 
     meta = {"step": step, "epoch": epoch, "loss": loss, "module_keys": sorted(model.keys())}
+    # serialize against any in-flight async save (and finalize it) FIRST, in
+    # both modes — a blocking save racing a pending async one would otherwise
+    # let the later wait_for_checkpoints() repoint latest-checkpoint BACKWARD
+    wait_for_checkpoints()
     if not blocking:
-        wait_for_checkpoints()  # serialize in-flight saves; finalizes the previous one
         if target.exists():
             shutil.rmtree(target)
         _async_checkpointer().save(target.resolve(), tree)
@@ -144,7 +147,13 @@ def latest_checkpoint(run_dir: Path) -> Optional[Path]:
     latest = Path(run_dir) / "checkpoints" / "latest-checkpoint"
     if latest.exists():
         return latest.resolve()
-    candidates = sorted(Path(run_dir, "checkpoints").glob("step-*"), key=lambda p: p.name)
+    # fallback scan accepts only COMMITTED checkpoints: meta.json is written
+    # at finalize, after the (possibly async) Orbax write commits — a crash
+    # mid-write leaves a torn step dir / Orbax tmp dir without it
+    candidates = sorted(
+        (p for p in Path(run_dir, "checkpoints").glob("step-*") if (p / "meta.json").exists()),
+        key=lambda p: p.name,
+    )
     return candidates[-1] if candidates else None
 
 
@@ -176,7 +185,10 @@ def load_checkpoint(
         from jax.sharding import SingleDeviceSharding
 
         meta_tree = target if target is not None else ckptr.metadata(path).item_metadata.tree
-        sharding = SingleDeviceSharding(_jax.local_devices()[0])
+        # restore onto HOST memory, not the accelerator: a finetune-stage
+        # checkpoint holds the full fp32 LLM (27 GB for 7B) which must never
+        # be materialized in HBM — load_vid downcasts on host before transfer
+        sharding = SingleDeviceSharding(_jax.local_devices(backend="cpu")[0])
         abstract = _jax.tree_util.tree_map(
             lambda m: _jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
             meta_tree,

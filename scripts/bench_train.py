@@ -18,12 +18,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import json
 import os
 
-import jax
+from merv_tpu.util.cache import enable_compile_cache
 
-# persistent compile cache: full-model programs take minutes to compile cold;
-# repeat runs (chunk-parallel eval shards, repeated benches) hit the cache
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+enable_compile_cache()
 import sys
 import time
 from pathlib import Path

@@ -19,12 +19,9 @@ import json
 import math
 import os
 
-import jax
+from merv_tpu.util.cache import enable_compile_cache
 
-# persistent compile cache: full-model programs take minutes to compile cold;
-# repeat runs (chunk-parallel eval shards, repeated benches) hit the cache
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+enable_compile_cache()
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Union
@@ -152,6 +149,13 @@ def evaluate(cfg: EvalConfig) -> None:
         )
         return prompt_builder.get_prompt(), answer_char, question_text, clip, letters
 
+    def _clip(question):
+        return dict(
+            clip_start_sec=question["time"][0] if "time" in question else 0.0,
+            clip_end_sec=question["time"][1] if "time" in question else None,
+            end_frame=question.get("end_frame"),
+        )
+
     def _decode_group(group):
         """Host-side resolve + decode, run ahead of the device by
         prefetch_map (group N+1 decodes while group N computes)."""
@@ -159,10 +163,24 @@ def evaluate(cfg: EvalConfig) -> None:
 
         arrays = []
         for q in group:
-            clip = _prep(q)[3]
             name = _resolve_video(benchmark_dir, q["video_name"])
-            arrays.append(_load_media(name, max(model_cfg.num_frames), **clip))
+            arrays.append(_load_media(name, max(model_cfg.num_frames), **_clip(q)))
         return arrays
+
+    def _predict_one(question, prompt_text, letters):
+        """Per-item fallback: path-based load, works for both strategies."""
+        video = _resolve_video(benchmark_dir, question["video_name"])
+        if cfg.strategy == "likelihood":
+            return vidlm.score_options(
+                params, [video], [prompt_text], [letters],
+                num_frames=model_cfg.num_frames, clip_args=[_clip(question)],
+            )[0]
+        return vidlm.generate(
+            params, video, prompt_text,
+            do_sample=cfg.do_sample, temperature=cfg.temperature,
+            max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
+            num_frames=model_cfg.num_frames, **_clip(question),
+        )
 
     groups = [questions[s : s + cfg.batch_size] for s in range(0, len(questions), cfg.batch_size)]
     overlap = cfg.batch_size > 1 or cfg.strategy == "likelihood"
@@ -171,45 +189,41 @@ def evaluate(cfg: EvalConfig) -> None:
     with open(temp_output_path, "w") as f:
         for start, (group, decoded) in zip(range(0, len(questions), cfg.batch_size), decoded_iter):
             prepped = [_prep(q) for q in group]
-            if isinstance(decoded, Exception):
-                # decode failure: fall back to path-based per-group loading
-                overwatch.error(f"Prefetch decode failed ({type(decoded).__name__}: {decoded}); reloading inline")
-                decoded = None
-            videos = decoded if decoded is not None else [
-                _resolve_video(benchmark_dir, q["video_name"]) for q in group
-            ]
-            clip_args = None if decoded is not None else [p[3] for p in prepped]
-
-            if cfg.strategy == "likelihood":
-                # one batched prefill, answer read from letter-token logits
-                preds = vidlm.score_options(
-                    params, videos, [p[0] for p in prepped], [p[4] for p in prepped],
-                    num_frames=model_cfg.num_frames, clip_args=clip_args,
-                )
-            elif cfg.batch_size == 1:
-                q, (prompt_text, answer_char, question_text, clip, _) = group[0], prepped[0]
-                preds = [
-                    vidlm.generate(
-                        params, videos[0], prompt_text,
-                        do_sample=cfg.do_sample, temperature=cfg.temperature,
-                        max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
-                        num_frames=model_cfg.num_frames, **(clip if decoded is None else {}),
+            preds = [None] * len(group)
+            # grouped fast path; any failure (prefetch decode error included)
+            # falls back to the per-item path below so one corrupt video never
+            # drops the whole group (reference eval fault-tolerance contract)
+            try:
+                if isinstance(decoded, Exception):
+                    raise decoded
+                if cfg.strategy == "likelihood":
+                    # one batched prefill, answer read from letter-token logits
+                    preds = vidlm.score_options(
+                        params, decoded, [p[0] for p in prepped], [p[4] for p in prepped],
+                        num_frames=model_cfg.num_frames,
                     )
-                ]
-            else:
-                preds = vidlm.generate_batch(
-                    params, videos, [p[0] for p in prepped],
-                    num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
-                    do_sample=cfg.do_sample, temperature=cfg.temperature,
-                    min_length=cfg.min_length, clip_args=clip_args,
-                )
+                elif cfg.batch_size > 1:
+                    preds = vidlm.generate_batch(
+                        params, decoded, [p[0] for p in prepped],
+                        num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
+                        do_sample=cfg.do_sample, temperature=cfg.temperature,
+                        min_length=cfg.min_length,
+                    )
+            except Exception as e:
+                overwatch.error(f"Grouped eval failed ({type(e).__name__}: {e}); retrying per-item")
+                preds = [None] * len(group)
 
-            for question, (_, answer_char, question_text, _, _), pred in zip(group, prepped, preds):
-                out = {**question, **answers_dict[question["question_id"]]}
-                out["pred"] = pred
-                out["question_text"] = question_text
-                out["answer_char"] = answer_char
-                f.write(json.dumps(out) + "\n")
+            for question, (prompt_text, answer_char, question_text, _, letters), pred in zip(group, prepped, preds):
+                try:
+                    if pred is None:  # bsz-1 path or group-failure retry
+                        pred = _predict_one(question, prompt_text, letters)
+                    out = {**question, **answers_dict[question["question_id"]]}
+                    out["pred"] = pred
+                    out["question_text"] = question_text
+                    out["answer_char"] = answer_char
+                    f.write(json.dumps(out) + "\n")
+                except Exception as e:  # per-video fault tolerance
+                    overwatch.error(f"Failed on {question.get('question_id')}: {type(e).__name__}: {e}")
             if start % 100 >= 100 - cfg.batch_size:
                 f.flush()
     os.rename(temp_output_path, done_output_path)

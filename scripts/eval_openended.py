@@ -19,12 +19,9 @@ import glob
 import json
 import os
 
-import jax
+from merv_tpu.util.cache import enable_compile_cache
 
-# persistent compile cache: full-model programs take minutes to compile cold;
-# repeat runs (chunk-parallel eval shards, repeated benches) hit the cache
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+enable_compile_cache()
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Union
@@ -140,6 +137,13 @@ def evaluate(cfg: EvalConfig) -> None:
             num_frames=model_cfg.num_frames, **clip,
         )
 
+    def _clip(question):
+        return dict(
+            clip_start_sec=question["time"][0] if "time" in question else 0.0,
+            clip_end_sec=question["time"][1] if "time" in question else None,
+            end_frame=question.get("end_frame"),
+        )
+
     def _decode_group(group):
         """Host-side: resolve + decode the group's videos to uint8 arrays.
         Runs ahead of the device in prefetch_map threads, so group N+1
@@ -148,9 +152,8 @@ def evaluate(cfg: EvalConfig) -> None:
 
         arrays = []
         for q in group:
-            clip = _prep(q)[1]
             name = _resolve_video(benchmark_dir, q["video_name"])
-            arrays.append(_load_media(name, max(model_cfg.num_frames), **clip))
+            arrays.append(_load_media(name, max(model_cfg.num_frames), **_clip(q)))
         return arrays
 
     groups = [questions[s : s + cfg.batch_size] for s in range(0, len(questions), cfg.batch_size)]
