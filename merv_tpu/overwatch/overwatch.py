@@ -29,6 +29,20 @@ try:  # rich is available in the image (dependency of several baked-in packages)
 except Exception:  # pragma: no cover
     pass
 
+def _stderr_rich_handler():
+    from rich.console import Console
+    from rich.logging import RichHandler
+
+    return RichHandler(
+        console=Console(stderr=True),
+        markup=True,
+        rich_tracebacks=True,
+        show_level=True,
+        show_path=True,
+        show_time=True,
+    )
+
+
 LOG_CONFIG = {
     "version": 1,
     "disable_existing_loggers": False,
@@ -37,18 +51,17 @@ LOG_CONFIG = {
         "plain": {"format": "%(asctime)s | %(levelname)s | %(name)s :: %(message)s", "datefmt": "%m/%d %H:%M:%S"},
     },
     "handlers": {
+        # logs go to STDERR: several entry points (bench.py, eval drivers)
+        # have a machine-parsed stdout contract (one JSON line / jsonl), and
+        # any library warning routed through the root logger must not
+        # pollute it
         "console": (
             {
-                "class": "rich.logging.RichHandler",
+                "()": "merv_tpu.overwatch.overwatch._stderr_rich_handler",
                 "formatter": "simple-console",
-                "markup": True,
-                "rich_tracebacks": True,
-                "show_level": True,
-                "show_path": True,
-                "show_time": True,
             }
             if RICH_AVAILABLE
-            else {"class": "logging.StreamHandler", "formatter": "plain", "stream": sys.stdout}
+            else {"class": "logging.StreamHandler", "formatter": "plain", "stream": sys.stderr}
         )
     },
     "root": {"handlers": ["console"], "level": "INFO"},
