@@ -424,3 +424,25 @@ def test_async_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored["model"]["projectors"])
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_latest_checkpoint_ignores_torn_dirs(tmp_path):
+    """The fallback scan must skip uncommitted checkpoints: a crash during an
+    async write leaves a step dir (or Orbax tmp dir) WITHOUT meta.json, which
+    resume must never pick up."""
+    from merv_tpu.training.checkpointing import latest_checkpoint, save_checkpoint
+
+    model = _model()
+    params = model.init(KEY)
+    good = save_checkpoint(tmp_path, 1, 0, 2.0, params, ["projectors"])
+
+    # simulate a torn async write at a LATER step: dir exists, no meta.json
+    torn = tmp_path / "checkpoints" / "step-000002-epoch-00-loss=1.0000"
+    torn.mkdir()
+    (tmp_path / "checkpoints" / "step-000003-epoch-00-loss=0.9.orbax-checkpoint-tmp-7").mkdir()
+
+    # with the latest-checkpoint pointer present it wins outright
+    assert latest_checkpoint(tmp_path).name == good.name
+    # without it, the fallback scan must still pick the COMMITTED dir
+    (tmp_path / "checkpoints" / "latest-checkpoint").unlink()
+    assert latest_checkpoint(tmp_path).name == good.name
