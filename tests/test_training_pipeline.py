@@ -446,3 +446,24 @@ def test_latest_checkpoint_ignores_torn_dirs(tmp_path):
     # without it, the fallback scan must still pick the COMMITTED dir
     (tmp_path / "checkpoints" / "latest-checkpoint").unlink()
     assert latest_checkpoint(tmp_path).name == good.name
+
+
+def test_metrics_trackers_and_wandb_gating(tmp_path):
+    """Metrics pushes to the jsonl tracker; the W&B tracker degrades
+    gracefully when wandb is unavailable/offline (air-gapped contract,
+    reference metrics.py:52-95)."""
+    from merv_tpu.training.metrics import Metrics, WeightsBiasesTracker
+
+    m = Metrics(("jsonl", "wandb"), "t-run", tmp_path, {"lr": 1e-3}, "align",
+                grad_accumulation_steps=1, total_steps=4)
+    for step in range(2):
+        m.commit(global_step=step + 1, lr=1e-3, update_step_time=True, loss=float(step + 1))
+        m.push()
+    m.finalize()
+    logged = [json.loads(x) for x in (tmp_path / "t-run.jsonl").read_text().splitlines()]
+    assert len(logged) >= 2 and "Align/Loss" in logged[-1]
+
+    # wandb import failure (or offline init) must disable, not crash
+    wb = WeightsBiasesTracker("t-run", tmp_path, {}, group="align")
+    wb.write(1, {"Align/Loss": 1.0})
+    wb.finalize()
