@@ -438,8 +438,12 @@ def _library_flash_call(q, k, v, causal, scale, qseg, kvseg):
     seg = None if kvseg is None else SegmentIds(q=qseg, kv=kvseg)
     bq = _pick_block(q.shape[2], 512)
     bk = _pick_block(k.shape[2], 512)
+    # block_b = whole batch (largest divisor <= 8): fewer grid cells, measured
+    # ~7% faster than block_b=1 at both [2,...] and [8,...] prefill shapes
+    B = q.shape[0]
+    bb = next(d for d in range(min(B, 8), 0, -1) if B % d == 0)
     sizes = BlockSizes(
-        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=bb,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
         block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
     )
