@@ -38,9 +38,11 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from merv_tpu.nn.core import Embed, Linear, RMSNorm, normal_init
 from merv_tpu.ops.attention import attention
+from merv_tpu.parallel.sharding import constrain_batch_dim
 
 Array = jax.Array
 PyTree = Any
@@ -255,15 +257,25 @@ class LlamaDecoder:
     ) -> Tuple[Array, Optional[KVCache]]:
         """Full causal decoder forward.
 
-        Without cache: self-attention over the T input positions (kv_mask =
-        attention_mask). With cache: keys/values are written at
-        ``kv_cache.length`` and attention runs over the whole cache buffer with
-        positions >= length+T masked out.
+        Without cache: ``attention_mask`` MUST be a RIGHT-PADDING prefix mask
+        ([1]*n + [0]*pad per row). It is used for position computation only —
+        no kv mask is applied, because causal masking + right padding already
+        prevent any valid query from attending a padded key (padded rows
+        compute garbage that IGNORE labels / last-valid gathers never read),
+        and dropping it lets the flash kernels run their segment-free causal
+        fast path. A left-padded or interior-masked batch would silently
+        attend masked keys: a concrete (non-traced) mask is checked eagerly
+        below; traced masks rely on the contract (collator, generation, and
+        embed_multimodal all right-pad).
+
+        With cache: keys/values are written at ``kv_cache.length`` and
+        attention runs over the whole cache buffer with positions >= length+T
+        masked out (attention_mask IS applied as a kv mask there).
         """
         c = self.cfg
         if inputs_embeds is None:
             inputs_embeds = self.embed_input_ids(params, input_ids)
-        h = inputs_embeds.astype(c.compute_dtype)
+        h = constrain_batch_dim(inputs_embeds.astype(c.compute_dtype))
         B, T, _ = h.shape
 
         if kv_cache is not None:
@@ -297,12 +309,22 @@ class LlamaDecoder:
             # the flash kernels run their segment-free causal fast path.
             # Padded rows compute garbage that loss (IGNORE labels) and logit
             # readers (last-valid gather) never consume.
+            if attention_mask is not None and not isinstance(attention_mask, jax.core.Tracer):
+                # eager-mode contract check (free: concrete masks only occur in
+                # tests/debug paths; jit-traced masks rely on the contract)
+                am = np.asarray(attention_mask).astype(bool)
+                is_prefix = bool((am[:, 1:] <= am[:, :-1]).all())
+                assert is_prefix, (
+                    "decoder no-cache forward requires a right-padding prefix "
+                    "attention_mask ([1]*n + [0]*pad per row); left-padded or "
+                    "interior-masked batches would silently attend masked keys"
+                )
             kv_mask = None
 
         cos_sin = _rope_tables(c, positions, h.dtype)
 
         def layer_fn(carry, scanned):
-            h = carry
+            h = constrain_batch_dim(carry)
             if kv_cache is not None:
                 lp, ck, cv = scanned
                 h, new_kv = self._layer(lp, h, cos_sin, kv_mask, (ck, cv), kv_cache.length, True, attn_impl)
@@ -329,11 +351,14 @@ class LlamaDecoder:
             # prefill fast path: project only the requested positions — skips
             # ~T x V x E of lm_head FLOPs when just the next token is needed
             h = jnp.take_along_axis(h, logits_indices[:, None, None], axis=1)
-        if c.tie_word_embeddings:
-            logits = h @ params["embed_tokens"]["embedding"].astype(h.dtype).T
-        else:
-            logits = m["lm_head"](params["lm_head"], h)
+        logits = self.lm_head_apply(params, h)
         return logits, new_cache
+
+    def lm_head_apply(self, params: PyTree, h: Array) -> Array:
+        """Final hidden states -> vocabulary logits (tied or untied head)."""
+        if self.cfg.tie_word_embeddings:
+            return h @ params["embed_tokens"]["embedding"].astype(h.dtype).T
+        return self._modules()["lm_head"](params["lm_head"], h)
 
 
 def pack_serving_params(params: PyTree) -> PyTree:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from merv_tpu.nn.core import ACT2FN, Embed, LayerNorm, Linear, normal_init, trunc_normal_init, zeros_init
 from merv_tpu.ops.attention import DEFAULT_MASK_VALUE, attention
+from merv_tpu.parallel.sharding import constrain_batch_dim
 
 Array = jax.Array
 PyTree = Any
@@ -379,6 +380,7 @@ class VisionTransformer:
         layers = jax.tree_util.tree_map(lambda p: p[:n_run], params["layers"])
 
         def body(h, lp):
+            h = constrain_batch_dim(h)
             return self._layer(lp, h, frames), None
 
         x, _ = jax.lax.scan(body, x, layers)

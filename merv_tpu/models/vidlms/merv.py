@@ -362,14 +362,33 @@ class MERV(VidLM):
         is_multimodal: Optional[Array] = None,
         remat: bool = False,
         attn_impl: str = "auto",
+        loss_chunk_size: Optional[int] = None,
     ) -> Dict[str, Any]:
-        """Full multimodal forward. Returns dict(logits, loss, mixer)."""
+        """Full multimodal forward. Returns dict(logits, loss, mixer).
+
+        ``loss_chunk_size``: when set (and labels given), the [B, T, vocab]
+        logits tensor is never materialized — the loss streams over token
+        blocks through the lm_head (see :func:`chunked_causal_lm_loss`).
+        ``logits`` is None in that mode. At full scale the direct path's fp32
+        logits + log_softmax cost O(B*T*32000) HBM (6.3 GiB/device at the
+        align recipe) — the single largest training activation.
+        """
         feats = self.encode_videos(params, video_values, is_image)
         visual, mixer = self.project_and_fuse(params, feats)
         embeds, mask, fused_labels = self.embed_multimodal(
             params, input_ids, attention_mask, visual, labels, is_multimodal
         )
-        logits, _ = self.llm_backbone.decoder(
+        dec = self.llm_backbone.decoder
+        if fused_labels is not None and loss_chunk_size:
+            hidden, _ = dec(
+                params["llm_backbone"], inputs_embeds=embeds, attention_mask=mask,
+                remat=remat, attn_impl=attn_impl, return_hidden=True,
+            )
+            loss = chunked_causal_lm_loss(
+                dec, params["llm_backbone"], hidden, fused_labels, block=loss_chunk_size
+            )
+            return {"logits": None, "loss": loss, "mixer": mixer, "attention_mask": mask, "labels": fused_labels}
+        logits, _ = dec(
             params["llm_backbone"], inputs_embeds=embeds, attention_mask=mask,
             remat=remat, attn_impl=attn_impl,
         )
@@ -632,6 +651,58 @@ class MERV(VidLM):
             return jax.tree_util.tree_map(lambda _: trainable, sub)
 
         return {top: mark(top, sub) for top, sub in params.items()}
+
+
+def chunked_causal_lm_loss(
+    decoder: Any,
+    llm_params: PyTree,
+    hidden: Array,  # [B, T, E] post-final-norm hidden states
+    labels: Array,  # [B, T]
+    block: int = 256,
+) -> Array:
+    """Next-token CE without materializing [B, T, vocab] logits.
+
+    ``lax.scan`` over token blocks with a remat'd body: each block projects
+    [B, block, E] through the lm_head, takes its fp32 log-softmax NLL, and
+    only the scalar (sum, count) carry survives; the backward recomputes each
+    block's logits flash-style. Live memory drops from O(B*T*V) fp32 (plus a
+    log_softmax copy and its gradient) to O(B*block*V). Per-row math is
+    IDENTICAL to :func:`causal_lm_loss` (same dtype path: compute-dtype
+    lm_head GEMM, fp32 log-softmax); only the cross-block summation order
+    differs, so losses agree to fp32 tolerance, not bitwise.
+    """
+    B, T, E = hidden.shape
+    # shift once, then the scan is a plain per-position loop
+    shifted = jnp.concatenate(
+        [labels[:, 1:], jnp.full((B, 1), IGNORE_INDEX, labels.dtype)], axis=1
+    )
+    pad = (-T) % block
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        shifted = jnp.pad(shifted, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
+    nb = (T + pad) // block
+    hb = hidden.reshape(B, nb, block, E).transpose(1, 0, 2, 3)
+    lb = shifted.reshape(B, nb, block).transpose(1, 0, 2)
+
+    def body(h_blk: Array, l_blk: Array):
+        from merv_tpu.parallel.sharding import constrain_batch_dim
+
+        logits = decoder.lm_head_apply(llm_params, constrain_batch_dim(h_blk)).astype(jnp.float32)
+        valid = l_blk != IGNORE_INDEX
+        safe = jnp.where(valid, l_blk, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        return nll.sum(), valid.sum()
+
+    def scan_body(carry, x):
+        s, c = jax.checkpoint(body)(*x)
+        return (carry[0] + s, carry[1] + c), None
+
+    (nll_sum, count), _ = jax.lax.scan(
+        scan_body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (hb, lb)
+    )
+    return nll_sum / jnp.maximum(count, 1)
 
 
 def causal_lm_loss(logits: Array, labels: Array) -> Array:

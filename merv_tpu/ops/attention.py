@@ -117,6 +117,63 @@ def attention_reference(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def attention_chunked(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    causal: bool = False,
+    kv_mask: Optional[Array] = None,
+    scale: Optional[float] = None,
+    q_offset: Optional[Array] = None,
+    block_q: int = 256,
+) -> Array:
+    """Memory-bounded attention for platforms without the Pallas kernels.
+
+    ``lax.scan`` over query blocks with a remat'd body: live scores are
+    ``[B, H, block_q, Tk]`` instead of ``[B, H, Tq, Tk]``, and the backward
+    pass recomputes each block's scores (flash-style) rather than saving
+    them. This is what the CPU-mesh tests and the AOT memory proof
+    (``scripts/memory_proof.py``) run at exactly the shapes the TPU would
+    dispatch to a flash kernel, so their compiled memory profile models the
+    real program instead of the O(Tq·Tk) materialized fallback. Numerics
+    match :func:`attention_reference` (fp32 scores, same mask value).
+    """
+    B, H, Tq, D = q.shape
+    Hk, Tk = k.shape[1], k.shape[2]
+    assert H % Hk == 0
+    G = H // Hk
+    scale = (D ** -0.5) if scale is None else scale
+    offset = (Tk - Tq) if q_offset is None else q_offset
+
+    pad = (-Tq) % block_q
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else q
+    nb = (Tq + pad) // block_q
+    # [nb, B, Hk, G, block_q, D] scan xs
+    qs = qp.reshape(B, Hk, G, nb, block_q, D).transpose(3, 0, 1, 2, 4, 5)
+    starts = jnp.arange(nb, dtype=jnp.int32) * block_q
+    ki = jnp.arange(Tk, dtype=jnp.int32)
+
+    def body(start: Array, qblk: Array) -> Array:
+        s = jnp.einsum("bhgqd,bhkd->bhgqk", qblk, k, preferred_element_type=jnp.float32) * scale
+        if kv_mask is not None:
+            s = jnp.where(kv_mask[:, None, None, None, :], s, DEFAULT_MASK_VALUE)
+        if causal:
+            qi = start + jnp.arange(block_q, dtype=jnp.int32) + offset
+            s = jnp.where((ki[None, :] <= qi[:, None])[None, None, None], s, DEFAULT_MASK_VALUE)
+        probs = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhgqk,bhkd->bhgqd", probs, v)
+
+    def scan_body(carry, x):
+        start, qblk = x
+        return carry, jax.checkpoint(body)(start, qblk)
+
+    _, outs = jax.lax.scan(scan_body, jnp.zeros((), jnp.int32), (starts, qs))
+    # [nb, B, Hk, G, block_q, D] -> [B, H, Tq, D]
+    out = outs.transpose(1, 2, 3, 0, 4, 5).reshape(B, H, nb * block_q, D)
+    return out[:, :, :Tq]
+
+
 # ---------------------------------------------------------------------------
 # Pallas flash forward
 # ---------------------------------------------------------------------------
@@ -581,8 +638,17 @@ def dispatch_plan(
     """
     if impl == "pallas":
         return "pallas"
-    if impl != "auto" or has_bias or not on_tpu:
+    if impl == "chunked":
+        return "chunked"
+    if impl != "auto" or has_bias:
         return "xla"
+    if not on_tpu:
+        # platforms without the Pallas kernels (CPU-mesh tests, the AOT
+        # memory proof): bound memory with the chunked path at exactly the
+        # shapes the TPU dispatch would hand to a flash kernel, so compiled
+        # memory profiles model the real program
+        flash_shape = (causal and Tq == Tk and Tq >= 1024) or min(Tq, Tk) >= 2048
+        return "chunked" if flash_shape else "xla"
     if has_q_offset:
         # cache-offset prefill/decode: the library kernel has no q_offset
         # notion, so only the custom kernel (non-VJP direct call) applies;
@@ -659,6 +725,11 @@ def attention(
         on_tpu=can_use_pallas() and not _INTERPRET,
         has_mask=kv_mask is not None, self_shaped=q.shape == k.shape,
     )
+    if plan == "chunked":
+        assert bias is None, "additive bias is not supported by the chunked path (use impl='xla')"
+        return attention_chunked(
+            q, k, v, causal=causal, kv_mask=kv_mask, scale=scale_val, q_offset=q_offset
+        )
     if plan == "small":
         return _small_attention(q, k, v, scale_val)
     if plan == "library":

@@ -138,6 +138,45 @@ def constrain(x: jax.Array, mesh: Mesh, spec: P) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
+# --- Activation sharding constraints ---------------------------------------------
+# Without explicit constraints, SPMD sharding propagation is free to resolve
+# the batch-sharded-activations x fsdp-sharded-weights conflict by ALL-
+# GATHERING activations to full batch size (observed in the AOT memory proof:
+# replicated [128, 3072, 4096] hidden-state buffers = 6.4 GiB/device each).
+# Model code calls :func:`constrain_batch_dim` at layer boundaries; it is a
+# no-op until a strategy / entry point registers the active mesh.
+
+_ACTIVATION_MESH: Optional[Mesh] = None
+
+
+def set_activation_mesh(mesh: Optional[Mesh]) -> None:
+    """Register (or clear, with None) the mesh used by activation constraints."""
+    global _ACTIVATION_MESH
+    _ACTIVATION_MESH = mesh
+
+
+def constrain_batch_dim(x: jax.Array) -> jax.Array:
+    """Pin a batch-leading activation to stay sharded over the data/fsdp axes.
+
+    No-op when no activation mesh is registered, when neither batch axis is
+    >1, or when the leading dim doesn't divide the axis product (tiny test
+    batches).
+    """
+    mesh = _ACTIVATION_MESH
+    if mesh is None or not hasattr(x, "ndim") or x.ndim == 0:
+        return x
+    from merv_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
+
+    axes = [a for a in (DATA_AXIS, FSDP_AXIS) if mesh.shape.get(a, 1) > 1]
+    if not axes:
+        return x
+    total = int(np.prod([mesh.shape[a] for a in axes]))
+    if x.shape[0] % total != 0:
+        return x
+    spec = P(tuple(axes) if len(axes) > 1 else axes[0], *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 # --- Tensor-parallel rule tables -------------------------------------------------
 # Used when mesh 'tensor' axis > 1; matched against llama/qwen parameter paths
 # (see merv_tpu/models/backbones/llm/llama.py param layout).

@@ -68,6 +68,7 @@ class TrainingStrategy(ABC):
         worker_init_fn: Optional[Callable[[int], None]] = None,
         mesh: Optional[Mesh] = None,
         save_checkpoint_after: int = 512,
+        loss_chunk_size: Optional[int] = None,
         **_: Any,
     ) -> None:
         self.vidlm, self.stage = vidlm, stage
@@ -81,9 +82,17 @@ class TrainingStrategy(ABC):
         self.mixed_precision_dtype = mixed_precision_dtype
         self.worker_init_fn = worker_init_fn
         self.save_checkpoint_after = save_checkpoint_after
+        # stream the CE loss over token blocks (never materialize [B,T,vocab]
+        # logits) — required at 7B full scale; None = direct loss
+        self.loss_chunk_size = loss_chunk_size
 
         self.mesh = mesh if mesh is not None else build_mesh()
         self.world_size = int(np.prod(list(self.mesh.shape.values())))
+        # pin batch-sharded activations at layer boundaries (otherwise SPMD
+        # propagation may all-gather them against fsdp-sharded weights)
+        from merv_tpu.parallel.sharding import set_activation_mesh
+
+        set_activation_mesh(self.mesh)
 
         assert self.global_batch_size % (self.per_device_batch_size * self.world_size) == 0, (
             f"global_bsz {global_batch_size} must be divisible by per_device_bsz {per_device_batch_size}"
@@ -142,7 +151,10 @@ class TrainingStrategy(ABC):
         self.state, self.specs = shard_train_state(state, self.mesh, strategy=self.sharding_strategy)
 
         self.video_transforms = video_transforms
-        loss_fn = make_loss_fn(self.vidlm, remat=self.enable_gradient_checkpointing, video_transforms=video_transforms)
+        loss_fn = make_loss_fn(
+            self.vidlm, remat=self.enable_gradient_checkpointing,
+            video_transforms=video_transforms, loss_chunk_size=self.loss_chunk_size,
+        )
         step = make_train_step(
             loss_fn, self.tx, grad_accumulation_steps=self.grad_accumulation_steps,
             trainable_mask=self.vidlm.trainable_mask(params),

@@ -44,12 +44,17 @@ def make_loss_fn(
     model: Any,
     remat: bool = True,
     video_transforms: Optional[Any] = None,
+    loss_chunk_size: Optional[int] = None,
 ) -> Callable[[PyTree, Dict[str, Any]], Array]:
     """Multimodal next-token loss over one microbatch dict.
 
     When ``video_transforms`` is given, ``batch["video_values"]`` holds raw
     uint8 host-geometry frames [B, F, S, S, C] and normalize/transpose fuse
     into this jitted program (``VideoTransform.device_finish``).
+
+    ``loss_chunk_size`` streams the CE loss over token blocks instead of
+    materializing [B, T, vocab] logits (required at 7B full scale — see
+    ``chunked_causal_lm_loss``); None keeps the direct path.
     """
 
     def loss_fn(params: PyTree, batch: Dict[str, Any]) -> Array:
@@ -65,6 +70,7 @@ def make_loss_fn(
             is_image=batch.get("is_image"),
             is_multimodal=batch.get("is_multimodal"),
             remat=remat,
+            loss_chunk_size=loss_chunk_size,
         )
         return out["loss"]
 

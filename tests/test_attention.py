@@ -107,6 +107,34 @@ def test_flash_backward_grads(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_chunked_matches_reference(causal, rng):
+    """The off-TPU memory-bounded path: GQA + mask + non-divisible Tq."""
+    q, k, v = _rand_qkv(rng, B=2, H=8, Hk=2, Tq=300, Tk=384, D=64)
+    kv_mask = jnp.asarray(np.random.RandomState(0).rand(2, 384) > 0.3)
+    ref = A.attention_reference(q, k, v, causal=causal, kv_mask=kv_mask)
+    out = A.attention_chunked(q, k, v, causal=causal, kv_mask=kv_mask, block_q=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_q_offset_and_grad(rng):
+    B, H, D = 1, 2, 64
+    q, k, v = _rand_qkv(rng, B=B, H=H, Hk=H, Tq=128, Tk=512, D=D)
+    offset = jnp.asarray(128, jnp.int32)
+    ref = A.attention_reference(q, k, v, causal=True, q_offset=offset)
+    out = A.attention_chunked(q, k, v, causal=True, q_offset=offset, block_q=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # differentiable (remat'd body recomputes scores in the backward)
+    loss_c = lambda q, k, v: A.attention_chunked(q, k, v, causal=True, block_q=64).sum()
+    loss_r = lambda q, k, v: A.attention_reference(q, k, v, causal=True).sum()
+    q2, k2, v2 = _rand_qkv(rng, B=2, H=4, Hk=4, Tq=192, Tk=192, D=64)
+    g1 = jax.grad(loss_c, argnums=(0, 1, 2))(q2, k2, v2)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
 def test_dispatch_plan_pins_model_paths():
     """Pin which kernel every real model path runs (BASELINE.md crossover).
 
@@ -145,9 +173,15 @@ def test_dispatch_plan_pins_model_paths():
     assert plan(1, 2048, 128, causal=True, has_q_offset=True) == "xla"
     # additive bias is XLA-only
     assert plan(3072, 3072, 128, causal=True, has_bias=True) == "xla"
-    # off-TPU everything is XLA; impl overrides win
-    assert plan(3072, 3072, 128, causal=True, on_tpu=False) == "xla"
+    # off-TPU, flash-sized shapes run the memory-bounded chunked path (so
+    # CPU-mesh tests and the AOT memory proof model the real program);
+    # short shapes stay on XLA; impl overrides win
+    assert plan(3072, 3072, 128, causal=True, on_tpu=False) == "chunked"
+    assert plan(3137, 3137, 64, causal=False, on_tpu=False) == "chunked"
+    assert plan(261, 261, 64, causal=False, self_shaped=True, on_tpu=False) == "xla"
+    assert plan(1, 2048, 128, causal=True, has_q_offset=True, on_tpu=False) == "xla"
     assert plan(196, 196, 64, causal=False, impl="pallas") == "pallas"
+    assert plan(3072, 3072, 128, causal=True, on_tpu=False, impl="xla") == "xla"
 
 
 def test_small_attention_matches_reference(rng):

@@ -145,6 +145,33 @@ def test_forward_shapes_and_loss():
     assert out["mixer"].shape == (B, len(m.video_backbones))
 
 
+def test_chunked_loss_matches_direct():
+    """loss_chunk_size streams CE over token blocks (never materializes
+    [B, T, vocab] logits) — must agree with the direct loss to fp32 tolerance,
+    including non-divisible T (24 tokens, block 7 -> padded tail)."""
+    m = _make_merv()
+    params = m.init(KEY)
+    input_ids, mask, labels, vids = _batch(m)
+    direct = m.forward(params, input_ids, mask, vids, labels=labels)
+    for block in (4, 7, 64):
+        chunked = m.forward(params, input_ids, mask, vids, labels=labels, loss_chunk_size=block)
+        assert chunked["logits"] is None
+        np.testing.assert_allclose(
+            float(chunked["loss"]), float(direct["loss"]), rtol=2e-6, atol=2e-6
+        )
+
+    # gradients must agree too (the remat'd block bodies recompute logits)
+    def loss(p, chunk):
+        return m.forward(p, input_ids, mask, vids, labels=labels, loss_chunk_size=chunk)["loss"]
+
+    g_direct = jax.grad(loss)(params, None)
+    g_chunk = jax.grad(loss)(params, 4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        g_direct, g_chunk,
+    )
+
+
 def test_splice_after_bos():
     m = _make_merv()
     params = m.init(KEY)
