@@ -76,16 +76,41 @@ class DecoderConfig:
 
 
 class KVCache(NamedTuple):
-    """Static-shape KV cache for all layers."""
+    """Static-shape KV cache for all layers.
+
+    ``dtype=jnp.int8`` stores keys/values quantized per (batch, head,
+    position) with fp32 scales (``k_scale``/``v_scale``,
+    [L, B, H_kv, max_len, 1]): decode streams the whole cache every step, so
+    halving its bytes trims the HBM-bound per-token latency; the ~3% scale
+    overhead rides along. Quantize-on-write / dequantize-on-read live in
+    ``LlamaDecoder._layer``.
+    """
 
     k: Array  # [L, B, H_kv, max_len, D]
     v: Array  # [L, B, H_kv, max_len, D]
     length: Array  # scalar int32: number of valid positions
+    k_scale: Optional[Array] = None  # [L, B, H_kv, max_len, 1] f32 (int8 mode)
+    v_scale: Optional[Array] = None
 
     @classmethod
     def create(cls, cfg: DecoderConfig, batch: int, max_len: int, dtype: Any = jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+        if dtype == jnp.int8:
+            sshape = shape[:-1] + (1,)
+            return cls(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8), jnp.zeros((), jnp.int32),
+                jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32),
+            )
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+
+
+def _quantize_kv(x: Array) -> Tuple[Array, Array]:
+    """[B, H, T, D] float -> (int8 values, [B, H, T, 1] f32 scales)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _rope(cos_sin: Tuple[Array, Array], x: Array) -> Array:
@@ -216,11 +241,23 @@ class LlamaDecoder:
 
         new_cache = None
         if cache_kv is not None:
-            ck, cv = cache_kv  # [B, Hkv, max_len, D]
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_len, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_len, 0))
-            k, v = ck, cv
-            new_cache = (ck, cv)
+            ck, cv, cks, cvs = cache_kv  # [B, Hkv, max_len, D] (+ scales in int8 mode)
+            if cks is not None:
+                kq, ks = _quantize_kv(k)
+                vq, vs = _quantize_kv(v)
+                ck = jax.lax.dynamic_update_slice(ck, kq, (0, 0, cache_len, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vq, (0, 0, cache_len, 0))
+                cks = jax.lax.dynamic_update_slice(cks, ks, (0, 0, cache_len, 0))
+                cvs = jax.lax.dynamic_update_slice(cvs, vs, (0, 0, cache_len, 0))
+                # scale in fp32 THEN round once to compute dtype (scaling a
+                # bf16-cast int8 by a bf16-cast scale would round twice)
+                k = (ck.astype(jnp.float32) * cks).astype(q.dtype)
+                v = (cv.astype(jnp.float32) * cvs).astype(q.dtype)
+            else:
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_len, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_len, 0))
+                k, v = ck, cv
+            new_cache = (ck, cv, cks, cvs)
 
         out = attention(
             q, k.astype(q.dtype), v.astype(q.dtype),
@@ -326,8 +363,10 @@ class LlamaDecoder:
         def layer_fn(carry, scanned):
             h = constrain_batch_dim(carry)
             if kv_cache is not None:
-                lp, ck, cv = scanned
-                h, new_kv = self._layer(lp, h, cos_sin, kv_mask, (ck, cv), kv_cache.length, True, attn_impl)
+                lp, ck, cv, cks, cvs = scanned
+                h, new_kv = self._layer(
+                    lp, h, cos_sin, kv_mask, (ck, cv, cks, cvs), kv_cache.length, True, attn_impl
+                )
                 return h, new_kv
             lp = scanned
             h, _ = self._layer(lp, h, cos_sin, kv_mask, None, None, True, attn_impl)
@@ -337,8 +376,11 @@ class LlamaDecoder:
             layer_fn = jax.checkpoint(layer_fn, prevent_cse=False)
 
         if kv_cache is not None:
-            h, new_kvs = jax.lax.scan(layer_fn, h, (params["layers"], kv_cache.k, kv_cache.v))
-            new_cache = KVCache(new_kvs[0], new_kvs[1], kv_cache.length + T)
+            h, new_kvs = jax.lax.scan(
+                layer_fn, h,
+                (params["layers"], kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale),
+            )
+            new_cache = KVCache(new_kvs[0], new_kvs[1], kv_cache.length + T, new_kvs[2], new_kvs[3])
         else:
             h, _ = jax.lax.scan(layer_fn, h, params["layers"])
             new_cache = None

@@ -41,6 +41,10 @@ class GenerationConfig:
     # reference's eval configs pass min_length=1, a no-op since prompts are
     # non-empty — preserved exactly.
     min_length: int = 1
+    # "int8" stores the KV cache quantized (per-position scales) — decode
+    # streams the whole cache every step, so this trims its HBM bytes ~2x;
+    # None uses the decoder compute dtype
+    kv_cache_dtype: Optional[str] = None
 
 
 def _sample_token(logits: Array, key: Array, cfg: GenerationConfig) -> Array:
@@ -129,7 +133,8 @@ def generate(
     B, T = inputs_embeds.shape[:2]
     rng = jax.random.PRNGKey(0) if rng is None else rng
     cache_len = max_cache_len or (T + config.max_new_tokens)
-    cache = KVCache.create(decoder.cfg, B, cache_len, dtype=decoder.cfg.compute_dtype)
+    cache_dtype = jnp.int8 if config.kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
+    cache = KVCache.create(decoder.cfg, B, cache_len, dtype=cache_dtype)
 
     # RoPE positions count only valid tokens (pads are masked from attention,
     # so their cache rows are never read — their positions are irrelevant)

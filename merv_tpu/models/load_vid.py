@@ -80,6 +80,15 @@ def _load_tower_params(vidlm, key, allow_random: bool) -> Dict[str, Any]:
     return towers
 
 
+def _tensor_axis_active() -> bool:
+    """True when the registered global mesh has a tensor-parallel axis > 1."""
+    from merv_tpu.parallel.mesh import TENSOR_AXIS
+    from merv_tpu.parallel import sharding as _sh
+
+    mesh = _sh._ACTIVATION_MESH
+    return mesh is not None and mesh.shape.get(TENSOR_AXIS, 1) > 1
+
+
 def load_vid(
     model_id_or_path: Union[str, Path],
     hf_token: Optional[str] = None,
@@ -100,6 +109,8 @@ def load_vid(
     narrow ones, +1.4% measured prefill throughput, numerically identical to
     GEMM-tiling rounding. Disable when the param tree must keep the training
     layout (e.g. to re-export or continue training from the loaded state).
+    Packing auto-disables when the registered mesh (``set_activation_mesh``)
+    has a tensor axis > 1: the TP sharding rules key on unpacked paths.
 
     ``allow_random_weights=True`` permits random-init fallback for missing
     tower/base-LLM weights (structure + throughput testing only). The default
@@ -182,7 +193,13 @@ def load_vid(
         tree = jax.tree_util.tree_map(
             lambda x: x.astype(serve_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
         )
-        if pack_llm:
+        if pack_llm and _tensor_axis_active():
+            # the TP rule table (parallel/sharding.py) keys on UNPACKED q/k/v
+            # paths; a packed tree under tensor>1 would silently fall back to
+            # fully-replicated LLM weights (memory blow-up), so packing
+            # auto-disables rather than relying on a docstring note
+            overwatch.info("Mesh has tensor>1: disabling packed serving layout (TP rules key on unpacked paths)")
+        elif pack_llm:
             from merv_tpu.models.backbones.llm.transformer import pack_serving_params
 
             tree = pack_serving_params(tree)
@@ -236,11 +253,31 @@ def load_vid(
         llm_params = jax.jit(_assemble_llm, donate_argnums=0)(llm_source)
         del llm_source
 
+    def _to_default_device(tree):
+        """Move host/CPU-committed leaves to the default accelerator.
+
+        Orbax's cross-platform fallback restores onto CPU devices and those
+        arrays stay COMMITTED there; a jit over CPU-committed inputs compiles
+        the whole serving program for the CPU backend (where the Pallas
+        kernels refuse to run and a 7B forward takes minutes per token).
+        Leaves already on the accelerator pass through untouched.
+        """
+        import numpy as np
+
+        backend = jax.default_backend()
+
+        def fix(x):
+            if isinstance(x, jax.Array) and next(iter(x.devices())).platform == backend:
+                return x
+            return jnp.asarray(np.asarray(x))
+
+        return jax.tree_util.tree_map(fix, tree)
+
     params: Dict[str, Any] = {
-        "projectors": restored["projectors"],
-        "feature_fusion": restored.get("feature_fusion", {}),
+        "projectors": _to_default_device(restored["projectors"]),
+        "feature_fusion": _to_default_device(restored.get("feature_fusion", {})),
         "llm_backbone": llm_params,
-        "video_backbones": _load_tower_params(vidlm, key, allow_random_weights),
+        "video_backbones": _to_default_device(_load_tower_params(vidlm, key, allow_random_weights)),
     }
     for i, vb in enumerate(vidlm.video_backbones):
         # frozen towers hard-cast to half precision, the reference's

@@ -415,18 +415,40 @@ class MERV(VidLM):
         min_length: int = 1,
         rng: Optional[Array] = None,
     ) -> Array:
-        """Batched multimodal generation -> new token ids [B, max_new_tokens]."""
-        feats = self.encode_videos(params, video_values, is_image)
-        visual, _ = self.project_and_fuse(params, feats)
-        embeds, mask, _ = self.embed_multimodal(params, input_ids, attention_mask, visual, None, is_multimodal)
+        """Batched multimodal generation -> new token ids [B, max_new_tokens].
+
+        The WHOLE pipeline (towers -> projectors -> fusion -> splice ->
+        prefill -> decode scan) runs as one jitted program per
+        (shapes, generation-config) pair. Serving used to trace this eagerly:
+        hundreds of per-op dispatches, each paying tunnel RTT — and on a
+        remote-compile platform, a fresh sub-second XLA compile per primitive
+        (a ~20 min wall-clock stall per eval config before any output).
+        """
         cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,
             top_k=top_k, min_length=min_length,
             eos_token_id=self.llm_backbone.stop_token_id, pad_token_id=self.llm_backbone.pad_token_id,
         )
-        return _generate(
-            self.llm_backbone.decoder, params["llm_backbone"],
-            inputs_embeds=embeds, attention_mask=mask.astype(jnp.int32), config=cfg, rng=rng,
+        flags = (is_image is not None, is_multimodal is not None)
+        cache = self.__dict__.setdefault("_serve_jit_cache", {})
+        fn = cache.get(("generate", cfg, flags))
+        if fn is None:
+            def run(params, input_ids, attention_mask, videos, is_image, is_multimodal, rng):
+                feats = self.encode_videos(params, videos, is_image)
+                visual, _ = self.project_and_fuse(params, feats)
+                embeds, mask, _ = self.embed_multimodal(
+                    params, input_ids, attention_mask, visual, None, is_multimodal
+                )
+                return _generate(
+                    self.llm_backbone.decoder, params["llm_backbone"],
+                    inputs_embeds=embeds, attention_mask=mask.astype(jnp.int32), config=cfg, rng=rng,
+                )
+
+            fn = jax.jit(run)
+            cache[("generate", cfg, flags)] = fn
+        return fn(
+            params, input_ids, attention_mask, list(video_values), is_image, is_multimodal,
+            jax.random.PRNGKey(0) if rng is None else rng,
         )
 
     def generate_batch(
@@ -443,15 +465,20 @@ class MERV(VidLM):
         min_length: int = 1,
         clip_args: Optional[Sequence[Dict[str, Any]]] = None,
         rng: Optional[Array] = None,
+        pad_to_batch: Optional[int] = None,
     ) -> List[str]:
         """Batched multi-video generation — ONE prefill + ONE decode program for
         the whole batch (the reference generates bs=1; batching is the main
         TPU serving win). ``videos`` entries: path / raw uint8 array / None.
+        Prompt lengths pad to static buckets and (with ``pad_to_batch``) the
+        batch pads to a fixed size, bounding the number of compiled programs
+        an eval run can create (see ``_prepare_batch_inputs``).
         """
         import numpy as np
 
+        n_real = len(videos)
         input_ids, attention_mask, vids, is_mm = self._prepare_batch_inputs(
-            videos, prompt_texts, num_frames, clip_args
+            videos, prompt_texts, num_frames, clip_args, pad_to_batch=pad_to_batch
         )
 
         tokens = self.generate_ids(
@@ -463,7 +490,7 @@ class MERV(VidLM):
         stop = self.llm_backbone.stop_token_id
         tok = self.llm_backbone.tokenizer
         outs = []
-        for row in np.asarray(tokens):
+        for row in np.asarray(tokens)[:n_real]:
             row = row.tolist()
             if stop in row:
                 row = row[: row.index(stop)]
@@ -476,8 +503,26 @@ class MERV(VidLM):
         prompt_texts: Sequence[str],
         num_frames: Optional[List[int]] = None,
         clip_args: Optional[Sequence[Dict[str, Any]]] = None,
+        length_bucket: int = 64,
+        pad_to_batch: Optional[int] = None,
     ):
-        """Tokenize + right-pad prompts, decode + per-encoder transform videos."""
+        """Tokenize + right-pad prompts, decode + per-encoder transform videos.
+
+        ``pad_to_batch``: pad the batch with inert unimodal rows up to a fixed
+        size so a partial final eval group reuses the full group's compiled
+        program instead of compiling its own (callers slice outputs back to
+        the real batch).
+
+        Prompt lengths pad up to a STATIC bucket (multiples of
+        ``length_bucket``, capped at ``llm_max_length``) instead of the batch
+        max: every distinct padded length compiles its own prefill/decode
+        program pair, so without buckets a real eval set pays one multi-minute
+        compile per distinct prompt length (BASELINE.md config-4 proof was
+        compile-dominated for exactly this reason). Extra pad positions are
+        inert — the right-padding mask semantics are pinned by
+        ``test_batched_padded_generation_consistent``. ``length_bucket=1``
+        restores exact batch-max padding.
+        """
         import numpy as np
 
         from merv_tpu.preprocessing.transforms import subsample_frames
@@ -486,11 +531,20 @@ class MERV(VidLM):
             num_frames = [vb.num_frames for vb in self.video_backbones]
         B = len(videos)
         assert len(prompt_texts) == B
-        clip_args = clip_args or [{}] * B
+        clip_args = list(clip_args) if clip_args else [{}] * B
+        if pad_to_batch is not None and B < pad_to_batch:
+            n_pad = pad_to_batch - B
+            videos = list(videos) + [None] * n_pad
+            prompt_texts = list(prompt_texts) + ["."] * n_pad
+            clip_args = clip_args + [{}] * n_pad
+            B = pad_to_batch
 
         tok = self.llm_backbone.tokenizer
         id_lists = [tok(p, truncation=True).input_ids for p in prompt_texts]
         T = max(len(ids) for ids in id_lists)
+        if length_bucket > 1:
+            cap = self.llm_backbone.llm_max_length
+            T = min(-(-T // length_bucket) * length_bucket, max(cap, T))
         pad = self.llm_backbone.pad_token_id
         input_ids = np.full((B, T), pad, np.int32)
         attention_mask = np.zeros((B, T), np.int32)
@@ -524,6 +578,7 @@ class MERV(VidLM):
         option_strings: Sequence[Sequence[str]],
         num_frames: Optional[List[int]] = None,
         clip_args: Optional[Sequence[Dict[str, Any]]] = None,
+        pad_to_batch: Optional[int] = None,
     ) -> List[str]:
         """Likelihood MCQ readout: one batched prefill, next-token logits at the
         last prompt position restricted to single-token candidates.
@@ -536,22 +591,32 @@ class MERV(VidLM):
         import numpy as np
 
         input_ids, attention_mask, vids, is_mm = self._prepare_batch_inputs(
-            videos, prompt_texts, num_frames, clip_args
+            videos, prompt_texts, num_frames, clip_args, pad_to_batch=pad_to_batch
         )
         # last-position-only lm_head (decoder logits_indices fast path): the
         # full [B, T, V] logits buffer would be ~2.7 GB bf16 for qwen-scale
-        # vocabs at fused-sequence length — ~1000x the needed lm_head work
-        feats = self.encode_videos(params, vids)
-        visual, _ = self.project_and_fuse(params, feats)
-        embeds, mask, _ = self.embed_multimodal(
-            params, input_ids, attention_mask, visual, None, is_mm
-        )
-        last = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
-        logits, _ = self.llm_backbone.decoder(
-            params["llm_backbone"], inputs_embeds=embeds, attention_mask=mask,
-            logits_indices=last.astype(jnp.int32),
-        )
-        rows = np.asarray(logits[:, 0].astype(jnp.float32))  # [B, V] next-token logits
+        # vocabs at fused-sequence length — ~1000x the needed lm_head work.
+        # One jitted program per shape set (see generate_ids on why eager
+        # serving dispatch is pathological on remote-compile platforms).
+        cache = self.__dict__.setdefault("_serve_jit_cache", {})
+        fn = cache.get("score")
+        if fn is None:
+            def run(params, input_ids, attention_mask, videos, is_mm):
+                feats = self.encode_videos(params, videos)
+                visual, _ = self.project_and_fuse(params, feats)
+                embeds, mask, _ = self.embed_multimodal(
+                    params, input_ids, attention_mask, visual, None, is_mm
+                )
+                last = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
+                logits, _ = self.llm_backbone.decoder(
+                    params["llm_backbone"], inputs_embeds=embeds, attention_mask=mask,
+                    logits_indices=last.astype(jnp.int32),
+                )
+                return logits[:, 0].astype(jnp.float32)
+
+            fn = jax.jit(run)
+            cache["score"] = fn
+        rows = np.asarray(fn(params, input_ids, attention_mask, vids, is_mm))  # [B, V] next-token logits
         picks = []
         V = rows.shape[1]
         for b, options in enumerate(option_strings):
@@ -590,9 +655,17 @@ class MERV(VidLM):
             num_frames = [vb.num_frames for vb in self.video_backbones]
 
         tok = self.llm_backbone.tokenizer
-        ids = tok(prompt_text, truncation=True, return_tensors="np").input_ids
-        input_ids = jnp.asarray(ids, jnp.int32)
-        attention_mask = jnp.ones_like(input_ids)
+        ids = np.asarray(tok(prompt_text, truncation=True, return_tensors="np").input_ids)
+        # same static length buckets as the batched path (one compiled
+        # prefill/decode pair per bucket, not per prompt length)
+        bucket = 64
+        T = min(-(-ids.shape[1] // bucket) * bucket, max(self.llm_backbone.llm_max_length, ids.shape[1]))
+        mask = np.zeros((1, T), np.int32)
+        mask[0, : ids.shape[1]] = 1
+        padded = np.full((1, T), self.llm_backbone.pad_token_id, np.int32)
+        padded[0, : ids.shape[1]] = ids[0]
+        input_ids = jnp.asarray(padded, jnp.int32)
+        attention_mask = jnp.asarray(mask)
 
         if video is None:
             vids = [

@@ -157,6 +157,33 @@ def latest_checkpoint(run_dir: Path) -> Optional[Path]:
     return candidates[-1] if candidates else None
 
 
+def _metadata_tree(ckptr: Any, path: Path) -> PyTree:
+    """Checkpoint metadata -> a tree of objects with .shape/.dtype.
+
+    The attribute chain differs across Orbax versions
+    (``metadata(path).item_metadata.tree`` on current releases, the metadata
+    object itself being the tree on older ones) — probe the known layouts so
+    the cross-platform recovery path degrades with a clear error instead of
+    an AttributeError deep in the fallback it exists to serve.
+    """
+    meta = ckptr.metadata(path)
+    for attr_chain in (("item_metadata", "tree"), ("item_metadata",), ("tree",)):
+        node = meta
+        for a in attr_chain:
+            node = getattr(node, a, None)
+            if node is None:
+                break
+        if node is not None:
+            return node
+    if isinstance(meta, dict) or hasattr(meta, "keys"):
+        return meta
+    raise RuntimeError(
+        f"Unrecognized Orbax metadata layout for {path}: {type(meta).__name__} "
+        "(expected .item_metadata.tree / .item_metadata / .tree / mapping); "
+        "pass an explicit `target` to load_checkpoint"
+    )
+
+
 def load_checkpoint(
     path: Path,
     target: Optional[PyTree] = None,
@@ -184,7 +211,7 @@ def load_checkpoint(
         import jax as _jax
         from jax.sharding import SingleDeviceSharding
 
-        meta_tree = target if target is not None else ckptr.metadata(path).item_metadata.tree
+        meta_tree = target if target is not None else _metadata_tree(ckptr, path)
         # restore onto HOST memory, not the accelerator: a finetune-stage
         # checkpoint holds the full fp32 LLM (27 GB for 7B) which must never
         # be materialized in HBM — load_vid downcasts on host before transfer

@@ -40,6 +40,7 @@ def main() -> None:
     from bench import make_bench_params
 
     int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    int8_kv = os.environ.get("BENCH_INT8_KV", "0") == "1"
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
     params = make_bench_params(shapes, int8=int8)
 
@@ -57,7 +58,10 @@ def main() -> None:
         feats = model.encode_videos(params, videos)
         visual, _ = model.project_and_fuse(params, feats)
         embeds, mask, _ = model.embed_multimodal(params, input_ids, attention_mask, visual)
-        cache = KVCache.create(cfg, batch, total + steps, dtype=cfg.compute_dtype)
+        cache = KVCache.create(
+            cfg, batch, total + steps,
+            dtype=(jnp.int8 if int8_kv else cfg.compute_dtype),
+        )
         logits, cache = dec(params["llm_backbone"], inputs_embeds=embeds,
                             attention_mask=mask.astype(jnp.int32), kv_cache=cache)
         first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(jnp.int32)
@@ -99,7 +103,8 @@ def main() -> None:
     towers_tag = os.environ.get("BENCH_TOWERS", "merv")
     print(json.dumps({
         "metric": f"{towers_tag} decode tokens/sec + p50 TTFT (llm depth {layers}/32, bsz {batch}"
-                  + (", int8 weights)" if int8 else ")"),
+                  + (", int8 weights" if int8 else "")
+                  + (", int8 kv" if int8_kv else "") + ")",
         "decode_tokens_per_sec": round(batch / per_tok, 2),
         "ttft_p50_sec": round(ttft_p50, 4),
         "unit": "tokens/sec; sec",

@@ -158,13 +158,20 @@ def evaluate(cfg: EvalConfig) -> None:
 
     def _decode_group(group):
         """Host-side resolve + decode, run ahead of the device by
-        prefetch_map (group N+1 decodes while group N computes)."""
+        prefetch_map (group N+1 decodes while group N computes).
+
+        Failures are caught PER ITEM (Exception placeholder in the list): one
+        corrupt video must not poison the group's good decodes, which would
+        double host work by forcing the per-item path to re-decode them."""
         from merv_tpu.models.vidlms.merv import _load_media
 
         arrays = []
         for q in group:
-            name = _resolve_video(benchmark_dir, q["video_name"])
-            arrays.append(_load_media(name, max(model_cfg.num_frames), **_clip(q)))
+            try:
+                name = _resolve_video(benchmark_dir, q["video_name"])
+                arrays.append(_load_media(name, max(model_cfg.num_frames), **_clip(q)))
+            except Exception as e:
+                arrays.append(e)
         return arrays
 
     def _predict_one(question, prompt_text, letters):
@@ -196,19 +203,32 @@ def evaluate(cfg: EvalConfig) -> None:
             try:
                 if isinstance(decoded, Exception):
                     raise decoded
-                if cfg.strategy == "likelihood":
+                # items whose host decode failed keep preds[i]=None and take
+                # the per-item fallback; the good decodes batch as usual
+                good = (
+                    list(range(len(group))) if decoded is None
+                    else [i for i, a in enumerate(decoded) if not isinstance(a, Exception)]
+                )
+                if decoded is not None and len(good) < len(group):
+                    overwatch.error(f"{len(group) - len(good)} item(s) failed host decode; batching the rest")
+                sub = None if decoded is None else [decoded[i] for i in good]
+                if cfg.strategy == "likelihood" and good:
                     # one batched prefill, answer read from letter-token logits
-                    preds = vidlm.score_options(
-                        params, decoded, [p[0] for p in prepped], [p[4] for p in prepped],
-                        num_frames=model_cfg.num_frames,
+                    sub_preds = vidlm.score_options(
+                        params, sub, [prepped[i][0] for i in good], [prepped[i][4] for i in good],
+                        num_frames=model_cfg.num_frames, pad_to_batch=cfg.batch_size,
                     )
-                elif cfg.batch_size > 1:
-                    preds = vidlm.generate_batch(
-                        params, decoded, [p[0] for p in prepped],
+                    for i, p in zip(good, sub_preds):
+                        preds[i] = p
+                elif cfg.batch_size > 1 and good:
+                    sub_preds = vidlm.generate_batch(
+                        params, sub, [prepped[i][0] for i in good],
                         num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
                         do_sample=cfg.do_sample, temperature=cfg.temperature,
-                        min_length=cfg.min_length,
+                        min_length=cfg.min_length, pad_to_batch=cfg.batch_size,
                     )
+                    for i, p in zip(good, sub_preds):
+                        preds[i] = p
             except Exception as e:
                 overwatch.error(f"Grouped eval failed ({type(e).__name__}: {e}); retrying per-item")
                 preds = [None] * len(group)
@@ -224,8 +244,8 @@ def evaluate(cfg: EvalConfig) -> None:
                     f.write(json.dumps(out) + "\n")
                 except Exception as e:  # per-video fault tolerance
                     overwatch.error(f"Failed on {question.get('question_id')}: {type(e).__name__}: {e}")
-            if start % 100 >= 100 - cfg.batch_size:
-                f.flush()
+            # flush per group: a killed shard loses at most one group
+            f.flush()
     os.rename(temp_output_path, done_output_path)
 
     # last finisher merges shards + scores (reference eval_mcq.py:172-224)

@@ -152,8 +152,13 @@ def evaluate(cfg: EvalConfig) -> None:
 
         arrays = []
         for q in group:
-            name = _resolve_video(benchmark_dir, q["video_name"])
-            arrays.append(_load_media(name, max(model_cfg.num_frames), **_clip(q)))
+            # per-item catch: one corrupt video must not poison the group's
+            # good decodes (they'd be re-decoded by the per-item fallback)
+            try:
+                name = _resolve_video(benchmark_dir, q["video_name"])
+                arrays.append(_load_media(name, max(model_cfg.num_frames), **_clip(q)))
+            except Exception as e:
+                arrays.append(e)
         return arrays
 
     groups = [questions[s : s + cfg.batch_size] for s in range(0, len(questions), cfg.batch_size)]
@@ -175,12 +180,18 @@ def evaluate(cfg: EvalConfig) -> None:
                 try:
                     if isinstance(decoded, Exception):
                         raise decoded
-                    preds = vidlm.generate_batch(
-                        params, decoded, [p[0] for p in prepped],
-                        num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
-                        do_sample=cfg.do_sample, temperature=cfg.temperature,
-                        min_length=cfg.min_length,
-                    )
+                    good = [i for i, a in enumerate(decoded) if not isinstance(a, Exception)]
+                    if len(good) < len(group):
+                        overwatch.error(f"{len(group) - len(good)} item(s) failed host decode; batching the rest")
+                    if good:
+                        sub_preds = vidlm.generate_batch(
+                            params, [decoded[i] for i in good], [prepped[i][0] for i in good],
+                            num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
+                            do_sample=cfg.do_sample, temperature=cfg.temperature,
+                            min_length=cfg.min_length, pad_to_batch=cfg.batch_size,
+                        )
+                        for i, p in zip(good, sub_preds):
+                            preds[i] = p
                 except Exception as e:
                     overwatch.error(f"Batched generate failed ({type(e).__name__}: {e}); retrying per-item")
                     preds = [None] * len(group)
@@ -193,8 +204,10 @@ def evaluate(cfg: EvalConfig) -> None:
                     f.write(json.dumps(out) + "\n")
                 except Exception as e:  # per-video fault tolerance (reference :169-188)
                     overwatch.error(f"Failed on {question.get('question_id')}: {type(e).__name__}: {e}")
-            if start % 100 >= 100 - cfg.batch_size:
-                f.flush()
+            # flush per group so a killed shard loses at most one group
+            # (the old 100-boundary heuristic never fired at batch_size 1,
+            # buffering the whole run against the resume machinery)
+            f.flush()
     os.rename(temp_output_path, done_output_path)
 
     # last finisher merges (reference :198-215)

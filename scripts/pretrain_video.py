@@ -58,7 +58,9 @@ class PretrainConfig:
     hf_token: Union[str, Path] = Path(".hf_token")
 
     # Tracking Parameters
-    trackers: Tuple[str, ...] = ("jsonl",)
+    # parity with the reference default (scripts/pretrain_video.py:94); the
+    # W&B tracker degrades to disabled-mode offline (tested air-gapped)
+    trackers: Tuple[str, ...] = ("jsonl", "wandb")
     wandb_project: str = "merv"
     wandb_entity: Optional[str] = None
     slurm_id: Optional[int] = -1

@@ -98,6 +98,47 @@ def test_kv_cache_prefill_then_decode_matches_full(hf_and_ours):
     assert int(cache.length) == 16
 
 
+def test_int8_kv_cache_close_to_full(hf_and_ours):
+    """int8 KV cache (per-position scales) tracks the full-precision decode:
+    greedy argmax must match and logits stay within quantization tolerance."""
+    _, dec, params, _ = hf_and_ours
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(rng.randint(0, TINY.vocab_size, size=(2, 16)))
+
+    full_logits, _ = dec(params, input_ids=ids)
+
+    cache = KVCache.create(TINY, batch=2, max_len=32, dtype=jnp.int8)
+    assert cache.k.dtype == jnp.int8 and cache.k_scale is not None
+    pre_logits, cache = dec(params, input_ids=ids[:, :10], kv_cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(pre_logits), np.asarray(full_logits[:, :10]), rtol=0.05, atol=0.05
+    )
+    for t in range(10, 16):
+        step_logits, cache = dec(params, input_ids=ids[:, t : t + 1], kv_cache=cache)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]), rtol=0.05, atol=0.05
+        )
+        assert np.array_equal(
+            np.argmax(np.asarray(step_logits[:, 0]), -1), np.argmax(np.asarray(full_logits[:, t]), -1)
+        )
+    assert int(cache.length) == 16
+
+
+def test_int8_kv_generate_matches_bf16_greedy(hf_and_ours):
+    """End-to-end generate with kv_cache_dtype='int8' produces the same greedy
+    tokens as the full-precision cache on the tiny model."""
+    _, dec, params, _ = hf_and_ours
+    from merv_tpu.models.generation import GenerationConfig, generate
+
+    ids = jnp.asarray(np.random.RandomState(4).randint(3, TINY.vocab_size, size=(2, 9)))
+    base = generate(dec, params, input_ids=ids,
+                    config=GenerationConfig(max_new_tokens=8, eos_token_id=-1, pad_token_id=0))
+    q = generate(dec, params, input_ids=ids,
+                 config=GenerationConfig(max_new_tokens=8, eos_token_id=-1, pad_token_id=0,
+                                         kv_cache_dtype="int8"))
+    assert np.array_equal(np.asarray(base), np.asarray(q))
+
+
 def test_qwen_style_bias_and_gqa():
     torch = pytest.importorskip("torch")
     cfg = DecoderConfig(

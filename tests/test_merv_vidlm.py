@@ -166,8 +166,11 @@ def test_chunked_loss_matches_direct():
 
     g_direct = jax.grad(loss)(params, None)
     g_chunk = jax.grad(loss)(params, 4)
+    # the lm_head GEMM runs in bf16 compute dtype on both paths but with
+    # different block partitioning, so gradients agree to bf16 ulp (2^-8
+    # relative), not fp32 — tolerance set accordingly
     jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-5),
         g_direct, g_chunk,
     )
 
@@ -296,3 +299,30 @@ def test_generate_from_jpg_image(tmp_path):
     video = (np.random.rand(8, 32, 32, 3) * 255).astype(np.uint8)
     outs = m.generate_batch(params, [str(img), video, None], ["In: a?\nOut: "] * 3, max_new_tokens=3)
     assert len(outs) == 3 and all(isinstance(o, str) for o in outs)
+
+
+def test_prompt_length_bucketing_and_batch_padding():
+    """Serving compiles one prefill/decode pair per (padded length, batch)
+    shape; static buckets + batch padding bound that count. Bucketed/padded
+    calls must produce the same text as exact padding (right-pad invariance
+    is pinned at the decoder level by test_batched_padded_generation)."""
+    m = _make_merv()
+    params = m.init(KEY)
+    vids = [(np.random.RandomState(0).rand(4, 32, 32, 3) * 255).astype(np.uint8)] * 2
+    prompts = ["In: a?\nOut: ", "In: what is happening here, in detail?\nOut: "]
+
+    # width rounds UP to the bucket (not the exact batch max)
+    ids_b, _, _, _ = m._prepare_batch_inputs(vids, prompts, length_bucket=1)
+    exact_T = ids_b.shape[1]
+    ids_a, mask_a, _, _ = m._prepare_batch_inputs(vids, prompts, length_bucket=16)
+    assert ids_a.shape[1] == -(-exact_T // 16) * 16 and ids_a.shape[1] % 16 == 0
+    assert int(mask_a.sum(1).max()) == exact_T
+
+    exact = m.generate_batch(params, vids, prompts, max_new_tokens=4)
+    assert len(exact) == 2
+    bucketed = m.generate_batch(params, vids, prompts, max_new_tokens=4, pad_to_batch=4)
+    assert bucketed == exact  # padded rows are inert and sliced off
+
+    # partial-group batch padding: padded rows never leak into outputs
+    one = m.generate_batch(params, vids[:1], prompts[:1], max_new_tokens=4, pad_to_batch=4)
+    assert one == exact[:1]

@@ -226,6 +226,44 @@ def test_checkpoint_save_load_roundtrip(tmp_path, mesh8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_metadata_tree_layouts(tmp_path, mesh8):
+    """The cross-platform restore fallback reads checkpoint metadata through a
+    version-sensitive Orbax attribute chain; pin that it resolves on the
+    INSTALLED Orbax (against a real save) and on the known layout variants."""
+    from types import SimpleNamespace
+
+    from merv_tpu.training.checkpointing import (
+        _checkpointer, _metadata_tree, latest_checkpoint, save_checkpoint,
+    )
+
+    model = _model()
+    params = model.init(KEY)
+    save_checkpoint(tmp_path, 1, 0, 1.0, params, ["projectors", "feature_fusion"])
+    latest = latest_checkpoint(tmp_path)
+    tree = _metadata_tree(_checkpointer(), latest)
+    # every leaf must expose shape+dtype (what the fallback rebuilds SDS from)
+    leaves = jax.tree_util.tree_leaves(tree)
+    assert leaves, "metadata tree is empty"
+    assert all(hasattr(l, "shape") and hasattr(l, "dtype") for l in leaves)
+
+    # synthetic layout variants across Orbax versions
+    sentinel = {"model": {"w": jax.ShapeDtypeStruct((2,), jnp.float32)}}
+
+    class FakeCkptr:
+        def __init__(self, meta):
+            self._meta = meta
+
+        def metadata(self, path):
+            return self._meta
+
+    assert _metadata_tree(FakeCkptr(SimpleNamespace(item_metadata=SimpleNamespace(tree=sentinel))), latest) is sentinel
+    assert _metadata_tree(FakeCkptr(SimpleNamespace(item_metadata=sentinel)), latest) is sentinel
+    assert _metadata_tree(FakeCkptr(SimpleNamespace(tree=sentinel)), latest) is sentinel
+    assert _metadata_tree(FakeCkptr(sentinel), latest) is sentinel
+    with pytest.raises(RuntimeError, match="Unrecognized Orbax metadata layout"):
+        _metadata_tree(FakeCkptr(object()), latest)
+
+
 def test_every_stage_string_freeze_and_handoff(tmp_path):
     """Every stage accepted by the config layer (``*align``/``*finetune``,
     pretrain_video.py) must survive freeze_backbones -> load_stage_weights —
