@@ -12,13 +12,15 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from merv_tpu.util.cache import enable_compile_cache
 
 enable_compile_cache()
-import sys
 import time
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp
