@@ -414,6 +414,7 @@ class MERV(VidLM):
         top_k: int = 0,
         min_length: int = 1,
         rng: Optional[Array] = None,
+        kv_cache_dtype: Optional[str] = None,
     ) -> Array:
         """Batched multimodal generation -> new token ids [B, max_new_tokens].
 
@@ -428,6 +429,7 @@ class MERV(VidLM):
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,
             top_k=top_k, min_length=min_length,
             eos_token_id=self.llm_backbone.stop_token_id, pad_token_id=self.llm_backbone.pad_token_id,
+            kv_cache_dtype=kv_cache_dtype,
         )
         flags = (is_image is not None, is_multimodal is not None)
         cache = self.__dict__.setdefault("_serve_jit_cache", {})
@@ -466,6 +468,7 @@ class MERV(VidLM):
         clip_args: Optional[Sequence[Dict[str, Any]]] = None,
         rng: Optional[Array] = None,
         pad_to_batch: Optional[int] = None,
+        kv_cache_dtype: Optional[str] = None,
     ) -> List[str]:
         """Batched multi-video generation — ONE prefill + ONE decode program for
         the whole batch (the reference generates bs=1; batching is the main
@@ -486,6 +489,7 @@ class MERV(VidLM):
             is_multimodal=jnp.asarray(is_mm),
             max_new_tokens=max_new_tokens, do_sample=do_sample,
             temperature=temperature, top_p=top_p, top_k=top_k, min_length=min_length, rng=rng,
+            kv_cache_dtype=kv_cache_dtype,
         )
         stop = self.llm_backbone.stop_token_id
         tok = self.llm_backbone.tokenizer
@@ -642,6 +646,7 @@ class MERV(VidLM):
         clip_end_sec: Optional[float] = None,
         end_frame: Optional[int] = None,
         rng: Optional[Array] = None,
+        kv_cache_dtype: Optional[str] = None,
     ) -> str:
         """Single-example convenience API (reference merv.py:779-830).
 
@@ -690,7 +695,7 @@ class MERV(VidLM):
         tokens = self.generate_ids(
             params, input_ids, attention_mask, vids, is_multimodal=is_multimodal,
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,
-            top_k=top_k, min_length=min_length, rng=rng,
+            top_k=top_k, min_length=min_length, rng=rng, kv_cache_dtype=kv_cache_dtype,
         )
         out = np.asarray(tokens[0]).tolist()
         stop = self.llm_backbone.stop_token_id

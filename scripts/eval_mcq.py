@@ -63,6 +63,7 @@ class EvalConfig:
     strategy: str = "naive"                         # answer-extraction: naive | likelihood
     allow_random_weights: bool = False              # random-init fallback (speed tests ONLY)
     quantize_llm: bool = False                      # weight-only int8 LLM serving (fits 7B on one v5e)
+    int8_kv: bool = False                           # int8 KV cache (decode HBM bytes ~2x less; see BASELINE.md)
     filename_question: str = "test_q"
     filename_answer: str = "test_a"
     eval_data_root: Path = Path("eval_data")
@@ -186,7 +187,7 @@ def evaluate(cfg: EvalConfig) -> None:
             params, video, prompt_text,
             do_sample=cfg.do_sample, temperature=cfg.temperature,
             max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
-            num_frames=model_cfg.num_frames, **_clip(question),
+            num_frames=model_cfg.num_frames, kv_cache_dtype=("int8" if cfg.int8_kv else None), **_clip(question),
         )
 
     groups = [questions[s : s + cfg.batch_size] for s in range(0, len(questions), cfg.batch_size)]
@@ -226,6 +227,7 @@ def evaluate(cfg: EvalConfig) -> None:
                         num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
                         do_sample=cfg.do_sample, temperature=cfg.temperature,
                         min_length=cfg.min_length, pad_to_batch=cfg.batch_size,
+                        kv_cache_dtype=("int8" if cfg.int8_kv else None),
                     )
                     for i, p in zip(good, sub_preds):
                         preds[i] = p

@@ -58,6 +58,7 @@ class EvalConfig:
     batch_size: int = 1                             # questions per prefill (TPU batching win)
     allow_random_weights: bool = False              # random-init fallback (speed tests ONLY)
     quantize_llm: bool = False                      # weight-only int8 LLM serving (fits 7B on one v5e)
+    int8_kv: bool = False                           # int8 KV cache (decode HBM bytes ~2x less; see BASELINE.md)
     # fmt: on
 
 
@@ -134,7 +135,7 @@ def evaluate(cfg: EvalConfig) -> None:
             params, video_name, prompt_text,
             do_sample=cfg.do_sample, temperature=cfg.temperature,
             max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
-            num_frames=model_cfg.num_frames, **clip,
+            num_frames=model_cfg.num_frames, kv_cache_dtype=("int8" if cfg.int8_kv else None), **clip,
         )
 
     def _clip(question):
@@ -189,6 +190,7 @@ def evaluate(cfg: EvalConfig) -> None:
                             num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
                             do_sample=cfg.do_sample, temperature=cfg.temperature,
                             min_length=cfg.min_length, pad_to_batch=cfg.batch_size,
+                        kv_cache_dtype=("int8" if cfg.int8_kv else None),
                         )
                         for i, p in zip(good, sub_preds):
                             preds[i] = p
