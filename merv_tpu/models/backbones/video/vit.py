@@ -33,7 +33,13 @@ import jax
 import jax.numpy as jnp
 
 from merv_tpu.nn.core import ACT2FN, Embed, LayerNorm, Linear, normal_init, trunc_normal_init, zeros_init
-from merv_tpu.ops.attention import DEFAULT_MASK_VALUE, attention
+from merv_tpu.ops.attention import (
+    DEFAULT_MASK_VALUE,
+    attention,
+    can_use_pallas,
+    dispatch_plan,
+    small_attention_kt,
+)
 from merv_tpu.parallel.sharding import constrain_batch_dim
 
 Array = jax.Array
@@ -256,10 +262,39 @@ class VisionTransformer:
         # stacked weights in place; measured on v5e 2026-08.
         c = self.cfg
         B, S, D = x.shape
+        H, Dh = c.num_heads, c.head_dim
+
+        plan = dispatch_plan(
+            S, S, Dh, causal=False, has_bias=False, has_q_offset=False,
+            on_tpu=can_use_pallas(), self_shaped=True,
+        )
+        if plan == "small":
+            # TRANSPOSE-FREE path: the projection einsums write q/v directly
+            # in [B, H, S, Dh] and k in [B, H, Dh, S] (the GEMM's output
+            # layout carries the head split), and the kt-kernel consumes k
+            # without Mosaic's in-cell lane<->sublane shuffle. The explicit
+            # [B,S,H,Dh]<->[B,H,S,Dh] transposes this replaces ran at ~25% of
+            # HBM bandwidth and cost ~0.4 ms/layer across the 24-layer towers
+            # (measured v5e 2026-08-17; see BASELINE.md round-3 tower profile).
+            def proj(p, eq, bshape):
+                y = jnp.einsum(eq, x, p["kernel"].astype(x.dtype).reshape(D, H, Dh))
+                if "bias" in p:
+                    y = y + p["bias"].reshape(bshape).astype(x.dtype)
+                return y
+
+            q = proj(lp["q_proj"], "bsd,dhk->bhsk", (H, 1, Dh))
+            kt = proj(lp["k_proj"], "bsd,dhk->bhks", (H, Dh, 1))
+            v = proj(lp["v_proj"], "bsd,dhk->bhsk", (H, 1, Dh))
+            out = small_attention_kt(q, kt, v, Dh ** -0.5)
+            y = jnp.einsum("bhsk,hkd->bsd", out, lp["o_proj"]["kernel"].astype(x.dtype).reshape(H, Dh, D))
+            if "bias" in lp["o_proj"]:
+                y = y + lp["o_proj"]["bias"].astype(x.dtype)
+            return y
+
         lin = Linear(D, D, param_dtype=c.param_dtype)
-        q = lin(lp["q_proj"], x).reshape(B, S, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
-        k = lin(lp["k_proj"], x).reshape(B, S, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
-        v = lin(lp["v_proj"], x).reshape(B, S, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+        q = lin(lp["q_proj"], x).reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        k = lin(lp["k_proj"], x).reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        v = lin(lp["v_proj"], x).reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
         out = attention(q, k, v, causal=False)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
         return lin(lp["o_proj"], out)

@@ -448,6 +448,92 @@ def _small_attention_fwd_impl(q: Array, k: Array, v: Array, scale: float) -> Arr
     return out[:, :, :T, :] if Tp != T else out
 
 
+def _small_attn_kernel_kt(q_ref, kt_ref, v_ref, o_ref, *, scale: float, seq: int, heads: int):
+    """Variant of _small_attn_kernel taking K PRE-TRANSPOSED ([1, H, D, Tp]).
+
+    The plain kernel's ``dot_general`` contracts k's trailing dim, which makes
+    Mosaic materialize a per-head lane<->sublane transpose of k inside every
+    grid cell; feeding kt directly keeps both dots in the MXU's natural
+    A[M,K] @ B[K,N] form. The caller produces kt straight out of the k-proj
+    GEMM (einsum output layout), so no transpose exists anywhere.
+    """
+    Tp = q_ref.shape[2]
+    for h in range(heads):
+        qh = q_ref[0, h]  # [Tp, D]
+        kt = kt_ref[0, h]  # [D, Tp]
+        vh = v_ref[0, h]  # [Tp, D]
+        s = jax.lax.dot_general(
+            qh, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if Tp != seq:
+            col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+            s = jnp.where(col < seq, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def small_attention_kt(q: Array, kt: Array, v: Array, scale: float) -> Array:
+    """Tower-frame attention with k pre-transposed: q/v [B,H,T,D], kt [B,H,D,T].
+
+    Same numerics as :func:`_small_attention` (bit-identical measured);
+    backward recomputes via the XLA reference (towers are frozen in every
+    reference training stage).
+    """
+    return _small_attention_kt_fwd_impl(q, kt, v, scale)
+
+
+def _small_attention_kt_fwd_impl(q: Array, kt: Array, v: Array, scale: float) -> Array:
+    B, H, T, D = q.shape
+    assert kt.shape == (B, H, D, T) and v.shape == q.shape
+    Tp = -(-T // 16) * 16
+    if Tp != T:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, Tp - T)))
+
+    kernel = functools.partial(_small_attn_kernel_kt, scale=scale, seq=T, heads=H)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, Tp, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, D, Tp), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Tp, D), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, Tp, D), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)) if _PALLAS_TPU else None,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tp * Tp * D,
+            bytes_accessed=(q.size * 4) * q.dtype.itemsize,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=_INTERPRET,
+    )(q, kt, v)
+    return out[:, :, :T, :] if Tp != T else out
+
+
+def _small_attention_kt_fwd_rule(q, kt, v, scale):
+    return _small_attention_kt_fwd_impl(q, kt, v, scale), (q, kt, v)
+
+
+def _small_attention_kt_bwd_rule(scale, res, g):
+    q, kt, v = res
+    k = kt.swapaxes(2, 3)
+    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v, scale=scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk.swapaxes(2, 3), dv
+
+
+small_attention_kt.defvjp(_small_attention_kt_fwd_rule, _small_attention_kt_bwd_rule)
+
+
 def _small_attention_fwd_rule(q, k, v, scale):
     return _small_attention_fwd_impl(q, k, v, scale), (q, k, v)
 

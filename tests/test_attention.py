@@ -184,6 +184,45 @@ def test_dispatch_plan_pins_model_paths():
     assert plan(3072, 3072, 128, causal=True, on_tpu=False, impl="xla") == "xla"
 
 
+def test_small_attention_kt_matches_reference(rng):
+    """Pre-transposed-k tower kernel: q/v [B,H,T,D], kt [B,H,D,T]."""
+    for T in (256, 261):
+        q, k, v = _rand_qkv(rng, B=2, H=3, Hk=3, Tq=T, Tk=T, D=64)
+        out = A.small_attention_kt(q, k.swapaxes(2, 3), v, 64 ** -0.5)
+        ref = A.attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # differentiable (XLA-recompute backward; towers are frozen but grads
+    # must still be correct for full-align experimentation)
+    q, k, v = _rand_qkv(rng, B=1, H=2, Hk=2, Tq=232, Tk=232, D=64)
+    loss_kt = lambda q, kt, v: A.small_attention_kt(q, kt, v, 64 ** -0.5).sum()
+    loss_rf = lambda q, k, v: A.attention_reference(q, k, v).sum()
+    g1 = jax.grad(loss_kt, argnums=(0, 1, 2))(q, k.swapaxes(2, 3), v)
+    g2 = jax.grad(loss_rf, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1].swapaxes(2, 3)), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[2]), np.asarray(g2[2]), rtol=1e-4, atol=1e-4)
+
+
+def test_vit_mha_transpose_free_path_matches(rng, monkeypatch):
+    """The tower _mha's einsum-projected (transpose-free) small-kernel path
+    must match the Linear+transpose XLA path on the same params."""
+    import merv_tpu.models.backbones.video.vit as V
+
+    cfg = V.tiny_vit_config()
+    vit = V.VisionTransformer(cfg)
+    params = vit.init(rng)
+    lp = jax.tree_util.tree_map(lambda p: p[0], params["layers"])
+    D = cfg.hidden_size
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 240, D), jnp.float32)  # S in the small-kernel window
+
+    monkeypatch.setattr(V, "can_use_pallas", lambda: False)
+    ref = vit._mha(lp["attn"], x)
+    monkeypatch.setattr(V, "can_use_pallas", lambda: True)  # A._INTERPRET fixture keeps Pallas on CPU
+    got = vit._mha(lp["attn"], x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_small_attention_matches_reference(rng):
     """Whole-sequence tower kernel (interpret mode) vs XLA reference,
     including the 16-sublane padding path (261 -> 272)."""
