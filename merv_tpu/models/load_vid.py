@@ -80,12 +80,13 @@ def _load_tower_params(vidlm, key, allow_random: bool) -> Dict[str, Any]:
     return towers
 
 
-def _tensor_axis_active() -> bool:
-    """True when the registered global mesh has a tensor-parallel axis > 1."""
+def _tensor_axis_active(mesh: Optional[Any] = None) -> bool:
+    """True when ``mesh`` (or, failing that, any scoped activation mesh) has a
+    tensor-parallel axis > 1."""
     from merv_tpu.parallel.mesh import TENSOR_AXIS
     from merv_tpu.parallel import sharding as _sh
 
-    mesh = _sh._ACTIVATION_MESH
+    mesh = mesh if mesh is not None else _sh._ACTIVATION_MESH
     return mesh is not None and mesh.shape.get(TENSOR_AXIS, 1) > 1
 
 
@@ -97,6 +98,7 @@ def load_vid(
     quantize_llm: bool = False,
     allow_random_weights: bool = False,
     pack_llm: bool = True,
+    mesh: Optional[Any] = None,
 ):
     """Load a pretrained MERV -> (vidlm, params) [+ model_cfg].
 
@@ -109,8 +111,11 @@ def load_vid(
     narrow ones, +1.4% measured prefill throughput, numerically identical to
     GEMM-tiling rounding. Disable when the param tree must keep the training
     layout (e.g. to re-export or continue training from the loaded state).
-    Packing auto-disables when the registered mesh (``set_activation_mesh``)
-    has a tensor axis > 1: the TP sharding rules key on unpacked paths.
+
+    ``mesh``: the ``jax.sharding.Mesh`` the returned params will be served on
+    (multi-chip serving — SERVING.md). Packing auto-disables when it has a
+    tensor axis > 1: the TP sharding rules key on unpacked q/k/v paths, and a
+    packed tree would silently fall back to fully-replicated LLM weights.
 
     ``allow_random_weights=True`` permits random-init fallback for missing
     tower/base-LLM weights (structure + throughput testing only). The default
@@ -193,7 +198,7 @@ def load_vid(
         tree = jax.tree_util.tree_map(
             lambda x: x.astype(serve_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
         )
-        if pack_llm and _tensor_axis_active():
+        if pack_llm and _tensor_axis_active(mesh):
             # the TP rule table (parallel/sharding.py) keys on UNPACKED q/k/v
             # paths; a packed tree under tensor>1 would silently fall back to
             # fully-replicated LLM weights (memory blow-up), so packing

@@ -656,42 +656,15 @@ class MERV(VidLM):
         """
         import numpy as np
 
-        if num_frames is None:
-            num_frames = [vb.num_frames for vb in self.video_backbones]
-
+        # one-element batch through the shared batched path: same tokenizer
+        # truncation, same static length buckets (one compiled prefill/decode
+        # pair per bucket — a second copy of the bucket rule here would let
+        # the two compile-program sets drift apart)
+        input_ids, attention_mask, vids, is_multimodal = self._prepare_batch_inputs(
+            [video], [prompt_text], num_frames,
+            clip_args=[dict(clip_start_sec=clip_start_sec, clip_end_sec=clip_end_sec, end_frame=end_frame)],
+        )
         tok = self.llm_backbone.tokenizer
-        ids = np.asarray(tok(prompt_text, truncation=True, return_tensors="np").input_ids)
-        # same static length buckets as the batched path (one compiled
-        # prefill/decode pair per bucket, not per prompt length)
-        bucket = 64
-        T = min(-(-ids.shape[1] // bucket) * bucket, max(self.llm_backbone.llm_max_length, ids.shape[1]))
-        mask = np.zeros((1, T), np.int32)
-        mask[0, : ids.shape[1]] = 1
-        padded = np.full((1, T), self.llm_backbone.pad_token_id, np.int32)
-        padded[0, : ids.shape[1]] = ids[0]
-        input_ids = jnp.asarray(padded, jnp.int32)
-        attention_mask = jnp.asarray(mask)
-
-        if video is None:
-            vids = [
-                jnp.zeros((1, *vb.default_video_resolution), jnp.float32) for vb in self.video_backbones
-            ]
-            is_multimodal = jnp.zeros((1,), bool)
-        else:
-            if isinstance(video, (str,)) or hasattr(video, "__fspath__"):
-                video = _load_media(
-                    video, max(num_frames),
-                    clip_start_sec=clip_start_sec, clip_end_sec=clip_end_sec, end_frame=end_frame,
-                )
-            video = np.asarray(video)
-            from merv_tpu.preprocessing.transforms import subsample_frames
-
-            vids = []
-            for vb, nf in zip(self.video_backbones, num_frames):
-                frames = subsample_frames(video, nf)
-                vids.append(vb.get_video_transform()(jnp.asarray(frames))[None])
-            is_multimodal = jnp.ones((1,), bool)
-
         tokens = self.generate_ids(
             params, input_ids, attention_mask, vids, is_multimodal=is_multimodal,
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,

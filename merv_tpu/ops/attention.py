@@ -424,7 +424,20 @@ def _small_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
 
 def _small_attention_fwd_impl(q: Array, k: Array, v: Array, scale: float) -> Array:
     B, H, T, D = q.shape
-    assert k.shape == q.shape and v.shape == q.shape, "small kernel: self-attention shapes only"
+    if k.shape != q.shape or v.shape != q.shape:
+        # GQA shapes broadcast kv heads (same numerics as attention_reference,
+        # whose recompute the backward rule already uses); anything else is a
+        # caller error — the dispatcher (`attention()`) never routes such
+        # shapes here, this guards direct private callers
+        Hk = k.shape[1]
+        if not (k.shape == v.shape == (B, Hk, T, D) and Hk > 0 and H % Hk == 0):
+            raise ValueError(
+                f"small kernel: q {q.shape} with k {k.shape} / v {v.shape} is neither "
+                f"self-shaped nor a GQA head grouping; use merv_tpu.ops.attention()"
+            )
+        rep = H // Hk
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     Tp = -(-T // 16) * 16  # bf16 sublane tile
     if Tp != T:
         pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))

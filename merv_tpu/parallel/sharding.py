@@ -21,6 +21,7 @@ Two mechanisms are provided:
 
 from __future__ import annotations
 
+import contextlib
 import re
 from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
 
@@ -150,9 +151,28 @@ _ACTIVATION_MESH: Optional[Mesh] = None
 
 
 def set_activation_mesh(mesh: Optional[Mesh]) -> None:
-    """Register (or clear, with None) the mesh used by activation constraints."""
+    """Register (or clear, with None) the mesh used by activation constraints.
+
+    Prefer the scoped :func:`activation_mesh` context manager: a permanent
+    global registration leaks a training mesh into every later trace in the
+    process (e.g. single-chip serving after a training run).
+    """
     global _ACTIVATION_MESH
     _ACTIVATION_MESH = mesh
+
+
+@contextlib.contextmanager
+def activation_mesh(mesh: Optional[Mesh]):
+    """Scope the activation-constraint mesh to a trace: with_sharding_constraint
+    ops are recorded at TRACE time, so wrapping the traced callable's body is
+    enough — and nothing leaks once the scope exits."""
+    global _ACTIVATION_MESH
+    prev = _ACTIVATION_MESH
+    _ACTIVATION_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVATION_MESH = prev
 
 
 def constrain_batch_dim(x: jax.Array) -> jax.Array:

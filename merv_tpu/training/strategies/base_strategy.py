@@ -88,11 +88,9 @@ class TrainingStrategy(ABC):
 
         self.mesh = mesh if mesh is not None else build_mesh()
         self.world_size = int(np.prod(list(self.mesh.shape.values())))
-        # pin batch-sharded activations at layer boundaries (otherwise SPMD
-        # propagation may all-gather them against fsdp-sharded weights)
-        from merv_tpu.parallel.sharding import set_activation_mesh
-
-        set_activation_mesh(self.mesh)
+        # batch-sharded activation pinning at layer boundaries happens inside
+        # jit_train_step's activation_mesh scope — never registered globally
+        # (a leaked training mesh would infect later serving jits)
 
         assert self.global_batch_size % (self.per_device_batch_size * self.world_size) == 0, (
             f"global_bsz {global_batch_size} must be divisible by per_device_bsz {per_device_batch_size}"

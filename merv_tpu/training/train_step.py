@@ -233,7 +233,14 @@ def jit_train_step(
 
     Batch shardings are inherited from the arrays themselves — place batches
     with :func:`merv_tpu.parallel.batch_sharding` before calling.
+
+    The activation-constraint mesh is scoped to the traced body (the
+    ``with_sharding_constraint`` ops inside the model record the mesh at TRACE
+    time), so constructing a training step never leaks a mesh into later
+    serving/eval jits in the same process.
     """
+    from merv_tpu.parallel.sharding import activation_mesh
+
     state_shardings = TrainState(
         to_named_shardings(specs.params, mesh),
         to_named_shardings(specs.opt_state, mesh),
@@ -241,7 +248,8 @@ def jit_train_step(
     )
 
     def wrapped(state: TrainState, batch: Dict[str, Any]):
-        return train_step(state, batch)
+        with activation_mesh(mesh):
+            return train_step(state, batch)
 
     return jax.jit(
         wrapped,

@@ -114,16 +114,14 @@ def lower_stage(
         TrainState, jit_train_step, make_loss_fn, make_train_step, train_state_specs,
     )
 
-    from merv_tpu.parallel.sharding import set_activation_mesh
-
     recipe = stage_recipe(cfg, stage)
     if pdbs:
         # v5e-8 recipe adjustment: same global batch (identical gradient math;
         # equal microbatches make the accumulation mean exact), smaller
         # per-device batch with more accumulation steps
         recipe["per_device_batch_size"] = pdbs
+    # activation constraints are scoped inside jit_train_step's trace
     mesh = build_mesh(MeshConfig(data=1, fsdp=8, tensor=1))
-    set_activation_mesh(mesh)
     world = 8
     accum = recipe["global_batch_size"] // recipe["per_device_batch_size"] // world
     assert accum >= 1, (recipe, world)

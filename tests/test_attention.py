@@ -247,3 +247,18 @@ def test_small_attention_backward(rng):
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_small_attention_gqa_broadcasts_instead_of_asserting(rng):
+    """Direct GQA-shaped calls broadcast kv heads (reference numerics) rather
+    than dying on a self-shape assert; incompatible shapes raise ValueError."""
+    import pytest
+
+    q, k, v = _rand_qkv(rng, B=2, H=4, Hk=2, Tq=48, Tk=48, D=32)
+    out = A._small_attention(q, k, v, 32 ** -0.5)
+    ref = A.attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    _, k3, v3 = _rand_qkv(rng, B=2, H=4, Hk=3, Tq=48, Tk=48, D=32)
+    with pytest.raises(ValueError, match="neither"):
+        A._small_attention(q, k3, v3, 32 ** -0.5)  # 4 % 3 != 0

@@ -98,3 +98,54 @@ def test_tensor_parallel_decoder_forward_matches_single_device():
     tp_logits, _ = jax.jit(lambda p, i: dec(p, input_ids=i))(sharded, ids)
 
     np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits), atol=2e-4)
+
+
+def test_activation_mesh_scoping(mesh8):
+    """The context manager scopes the constraint mesh and restores on exit."""
+    from merv_tpu.parallel import sharding as sh
+
+    assert sh._ACTIVATION_MESH is None
+    with sh.activation_mesh(mesh8):
+        assert sh._ACTIVATION_MESH is mesh8
+        with sh.activation_mesh(None):  # nested override restores the outer mesh
+            assert sh._ACTIVATION_MESH is None
+        assert sh._ACTIVATION_MESH is mesh8
+    assert sh._ACTIVATION_MESH is None
+
+
+def test_jit_train_step_does_not_leak_activation_mesh(mesh8):
+    """Tracing a training step must not leave the mesh registered globally
+    (a leaked training mesh would infect later serving jits in-process)."""
+    import optax
+
+    from merv_tpu.parallel import sharding as sh
+    from merv_tpu.training.train_step import (
+        TrainState, jit_train_step, make_train_step, shard_train_state,
+    )
+
+    params = {"w": jnp.ones((8, 8), jnp.float32)}
+    tx = optax.sgd(1e-2)
+
+    def loss_fn(p, batch):
+        return jnp.mean((batch["x"] @ p["w"] - batch["y"]) ** 2) + sh.constrain_batch_dim(batch["x"]).sum() * 0.0
+
+    step = make_train_step(loss_fn, tx)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state, specs = shard_train_state(state, mesh8)
+    fn = jit_train_step(step, specs, mesh8)
+    batch = {"x": jnp.ones((8, 8), jnp.float32), "y": jnp.zeros((8, 8), jnp.float32)}
+    state, metrics = fn(state, batch)  # traces (and runs) under the scoped mesh
+    assert float(metrics["loss"]) >= 0.0
+    assert sh._ACTIVATION_MESH is None  # nothing leaked past the trace
+
+
+def test_tensor_axis_active_uses_explicit_mesh():
+    """load_vid's TP pack guard keys on the mesh the caller passes in —
+    the serving flow never registers a global mesh."""
+    from merv_tpu.models.load_vid import _tensor_axis_active
+
+    tp_mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=8))
+    flat_mesh = build_mesh(MeshConfig(data=1, fsdp=8, tensor=1))
+    assert _tensor_axis_active(tp_mesh)
+    assert not _tensor_axis_active(flat_mesh)
+    assert not _tensor_axis_active(None)
