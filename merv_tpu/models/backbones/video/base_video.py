@@ -15,6 +15,7 @@ participation (params flow through :func:`merv_tpu.parallel.fsdp_specs`).
 
 from __future__ import annotations
 
+import dataclasses
 from abc import ABC, abstractmethod
 from typing import Any, Mapping, Optional, Tuple
 
@@ -41,6 +42,12 @@ class VideoBackbone(ABC):
         self.image_resize_strategy = image_resize_strategy
         self.default_image_size = default_image_size
         self.num_frames = num_frames
+        # Layer-scan unroll override (None = the config default, tuned for
+        # serving). Training sets this to TRAIN_TOWER_SCAN_UNROLL: the serving
+        # plateau (12) widens remat live-ranges under the finetune step and
+        # blows the v5e-8 16 GiB/device fit (memory_proof: 18.26 GiB vs
+        # 15.88 at 4). See materialize.get_video_backbone_and_transform.
+        self.scan_unroll: Optional[int] = None
 
     # -- params ----------------------------------------------------------------------
 
@@ -50,7 +57,10 @@ class VideoBackbone(ABC):
 
     @property
     def vit(self) -> VisionTransformer:
-        return VisionTransformer(self.vit_config)
+        cfg = self.vit_config
+        if self.scan_unroll is not None and hasattr(cfg, "scan_unroll"):
+            cfg = dataclasses.replace(cfg, scan_unroll=self.scan_unroll)
+        return VisionTransformer(cfg)
 
     def init(self, key: Array) -> PyTree:
         return self.vit.init(key)

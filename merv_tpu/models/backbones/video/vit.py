@@ -89,6 +89,14 @@ class ViTConfig:
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
+    # lax.scan unroll factor for the layer stack: unrolling lets XLA overlap
+    # the next layer's weight fetch with the current layer's GEMMs. Measured
+    # headline (videos/sec): 5.88 (1) / 5.94 (4) / 5.99 (8) / 6.15 (12) /
+    # 6.15 (24 = full ViT-L) -- 12 is the plateau. Towers have no
+    # cache-aliasing constraint so unrolling is safe (contrast the decoder,
+    # where unroll>1 collapsed decode -- BASELINE.md negative results).
+    scan_unroll: int = 12
+
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
@@ -418,7 +426,7 @@ class VisionTransformer:
             h = constrain_batch_dim(h)
             return self._layer(lp, h, frames), None
 
-        x, _ = jax.lax.scan(body, x, layers)
+        x, _ = jax.lax.scan(body, x, layers, unroll=c.scan_unroll)
         if apply_final_norm or apply_attn_pool:
             x = LayerNorm(c.hidden_size, eps=c.layer_norm_eps, param_dtype=c.param_dtype)(params["final_norm"], x)
         if apply_attn_pool:

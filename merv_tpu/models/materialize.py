@@ -74,18 +74,33 @@ LLM_BACKBONES: Dict[str, Dict[str, Any]] = {llm_id: {"cls": LLMBackbone, "kwargs
 # fmt: on
 
 
+# Tower layer-scan unroll under the TRAINING step. The serving default
+# (ViTConfig.scan_unroll=12, the measured v5e plateau) widens remat
+# live-ranges under the finetune gradient step and breaks the 16 GiB/device
+# v5e-8 fit (memory_proof: 18.26 GiB at 12 vs 15.88 at 4); 4 keeps the fit
+# with the same numerics (unroll is schedule-only).
+TRAIN_TOWER_SCAN_UNROLL = 4
+
+
 def get_video_backbone_and_transform(
     video_backbone_ids: List[str],
     image_resize_strategy: str,
     num_frames: List[int],
+    scan_unroll: Optional[int] = None,
 ) -> Tuple[List[VideoBackbone], List[VideoTransform]]:
-    """Instantiate video backbones + their per-backbone transforms."""
+    """Instantiate video backbones + their per-backbone transforms.
+
+    ``scan_unroll`` overrides the towers' layer-scan unroll factor (training
+    passes ``TRAIN_TOWER_SCAN_UNROLL``; serving keeps the config default).
+    """
     backbones, transforms = [], []
     for vb_id, nf in zip(video_backbone_ids, num_frames):
         if vb_id not in VIDEO_BACKBONES:
             raise ValueError(f"Video Backbone `{vb_id}` is not supported!")
         entry = VIDEO_BACKBONES[vb_id]
         vb = entry["cls"](vb_id, image_resize_strategy, num_frames=nf, **entry["kwargs"])
+        if scan_unroll is not None:
+            vb.scan_unroll = scan_unroll
         backbones.append(vb)
         transforms.append(vb.get_video_transform())
     return backbones, transforms

@@ -67,13 +67,18 @@ def build_flagship(model_id: str, num_llm_layers: int):
     from merv_tpu.models.backbones.llm.base_llm import LLMBackbone, LLMSpec
     from merv_tpu.models.backbones.llm.prompting import PurePromptBuilder
     from merv_tpu.models.backbones.llm.transformer import LLAMA2_7B
-    from merv_tpu.models.materialize import get_video_backbone_and_transform, get_vidlm
+    from merv_tpu.models.materialize import (
+        TRAIN_TOWER_SCAN_UNROLL,
+        get_video_backbone_and_transform,
+        get_vidlm,
+    )
 
     cfg = ModelConfig.get_choice_class(model_id)()
     towers, transforms = get_video_backbone_and_transform(
         cfg.video_backbone_ids,
         image_resize_strategy=cfg.image_resize_strategy,
         num_frames=cfg.num_frames,
+        scan_unroll=TRAIN_TOWER_SCAN_UNROLL,
     )
     dec = dataclasses.replace(LLAMA2_7B, num_layers=num_llm_layers, param_dtype=jnp.bfloat16)
     spec = LLMSpec("llama2", "__local__/llama2-7b", dec, PurePromptBuilder, pad_token_id=32000)
