@@ -69,8 +69,13 @@ def build_model(num_llm_layers: int, tiny: bool = False):
         "siglip+dinov2": (["siglip-vit-b16-224px-all-no-cls", "dinov2-video-all-tokens"], [16, 16]),
     }
     ids, frames = tower_sets[os.environ.get("BENCH_TOWERS", "merv")]
+    # BENCH_TOWER_UNROLL overrides the tower layer-scan unroll (serving
+    # default 12; training materializes per stage via
+    # train_tower_scan_unroll: align 12, finetune 4).
+    unroll_env = os.environ.get("BENCH_TOWER_UNROLL")
     towers, _ = get_video_backbone_and_transform(
         ids, image_resize_strategy="resize-naive", num_frames=frames,
+        scan_unroll=int(unroll_env) if unroll_env else None,
     )
     cfg = dataclasses.replace(LLAMA2_7B, num_layers=num_llm_layers, param_dtype=jnp.bfloat16)
     spec = LLMSpec("llama2", "__local__/llama2", cfg, PurePromptBuilder, pad_token_id=32000)

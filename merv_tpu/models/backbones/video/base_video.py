@@ -43,10 +43,11 @@ class VideoBackbone(ABC):
         self.default_image_size = default_image_size
         self.num_frames = num_frames
         # Layer-scan unroll override (None = the config default, tuned for
-        # serving). Training sets this to TRAIN_TOWER_SCAN_UNROLL: the serving
-        # plateau (12) widens remat live-ranges under the finetune step and
-        # blows the v5e-8 16 GiB/device fit (memory_proof: 18.26 GiB vs
-        # 15.88 at 4). See materialize.get_video_backbone_and_transform.
+        # serving). Training sets this per stage via
+        # materialize.train_tower_scan_unroll: the serving plateau (12)
+        # widens remat live-ranges under the finetune step and blows the
+        # v5e-8 16 GiB/device fit (memory_proof: 18.26 GiB vs 15.88 at 4);
+        # align fits at 12 and runs ~4% faster.
         self.scan_unroll: Optional[int] = None
 
     # -- params ----------------------------------------------------------------------

@@ -74,12 +74,21 @@ LLM_BACKBONES: Dict[str, Dict[str, Any]] = {llm_id: {"cls": LLMBackbone, "kwargs
 # fmt: on
 
 
-# Tower layer-scan unroll under the TRAINING step. The serving default
+# Tower layer-scan unroll under the TRAINING step (unroll is schedule-only:
+# numerics are identical at any factor, pinned by
+# tests/test_vit.py::test_scan_unroll_is_schedule_only). The serving default
 # (ViTConfig.scan_unroll=12, the measured v5e plateau) widens remat
-# live-ranges under the finetune gradient step and breaks the 16 GiB/device
-# v5e-8 fit (memory_proof: 18.26 GiB at 12 vs 15.88 at 4); 4 keeps the fit
-# with the same numerics (unroll is schedule-only).
-TRAIN_TOWER_SCAN_UNROLL = 4
+# live-ranges under the FINETUNE gradient step and breaks the 16 GiB/device
+# v5e-8 fit (memory_proof: 18.26 GiB at 12 vs 15.88 at 4). The ALIGN step
+# fits at 12 (14.72 GiB) and runs ~4% faster there (bench_train on v5e-1:
+# 5.97 ex/s at 12 vs 5.76 at 4), so the unroll is chosen per stage.
+TRAIN_TOWER_SCAN_UNROLL = 4  # finetune-safe factor (any-stage fallback)
+TRAIN_TOWER_SCAN_UNROLL_ALIGN = 12
+
+
+def train_tower_scan_unroll(stage: str) -> int:
+    """Tower layer-scan unroll for a training ``stage`` (see table above)."""
+    return TRAIN_TOWER_SCAN_UNROLL_ALIGN if stage.endswith("align") else TRAIN_TOWER_SCAN_UNROLL
 
 
 def get_video_backbone_and_transform(
@@ -91,7 +100,8 @@ def get_video_backbone_and_transform(
     """Instantiate video backbones + their per-backbone transforms.
 
     ``scan_unroll`` overrides the towers' layer-scan unroll factor (training
-    passes ``TRAIN_TOWER_SCAN_UNROLL``; serving keeps the config default).
+    passes ``train_tower_scan_unroll(stage)``; serving keeps the config
+    default).
     """
     backbones, transforms = [], []
     for vb_id, nf in zip(video_backbone_ids, num_frames):

@@ -68,7 +68,6 @@ def build_flagship(model_id: str, num_llm_layers: int):
     from merv_tpu.models.backbones.llm.prompting import PurePromptBuilder
     from merv_tpu.models.backbones.llm.transformer import LLAMA2_7B
     from merv_tpu.models.materialize import (
-        TRAIN_TOWER_SCAN_UNROLL,
         get_video_backbone_and_transform,
         get_vidlm,
     )
@@ -78,7 +77,6 @@ def build_flagship(model_id: str, num_llm_layers: int):
         cfg.video_backbone_ids,
         image_resize_strategy=cfg.image_resize_strategy,
         num_frames=cfg.num_frames,
-        scan_unroll=TRAIN_TOWER_SCAN_UNROLL,
     )
     dec = dataclasses.replace(LLAMA2_7B, num_layers=num_llm_layers, param_dtype=jnp.bfloat16)
     spec = LLMSpec("llama2", "__local__/llama2-7b", dec, PurePromptBuilder, pad_token_id=32000)
@@ -126,6 +124,11 @@ def lower_stage(
         # per-device batch with more accumulation steps
         recipe["per_device_batch_size"] = pdbs
     # activation constraints are scoped inside jit_train_step's trace
+    # production per-stage tower unroll (align fits v5e-8 at 12; finetune
+    # needs 4 — see materialize.train_tower_scan_unroll)
+    from merv_tpu.models.materialize import train_tower_scan_unroll
+    for vb in model.video_backbones:
+        vb.scan_unroll = train_tower_scan_unroll(stage)
     mesh = build_mesh(MeshConfig(data=1, fsdp=8, tensor=1))
     world = 8
     accum = recipe["global_batch_size"] // recipe["per_device_batch_size"] // world
@@ -220,6 +223,7 @@ def lower_stage(
         "per_device_batch_size": recipe["per_device_batch_size"],
         "micro_batch_global": micro,
         "seq_len_text": seq_len,
+        "tower_scan_unroll": train_tower_scan_unroll(stage),
         "loss_chunk_size": loss_chunk_size,
         "argument_gib": arg / GIB,
         "temp_gib": temp / GIB,

@@ -28,7 +28,7 @@ from typing import Optional, Tuple, Union
 import merv_tpu.conf.registry as draccus
 from merv_tpu.conf import DatasetConfig, DatasetRegistry, ModelConfig, ModelRegistry
 from merv_tpu.models import get_llm_backbone_and_tokenizer, get_video_backbone_and_transform, get_vidlm
-from merv_tpu.models.materialize import TRAIN_TOWER_SCAN_UNROLL
+from merv_tpu.models.materialize import train_tower_scan_unroll
 from merv_tpu.overwatch import initialize_overwatch
 from merv_tpu.preprocessing import get_dataset_and_collator
 from merv_tpu.training import Metrics, get_train_strategy
@@ -115,7 +115,7 @@ def pretrain(cfg: PretrainConfig) -> None:
     overwatch.info(f"Loading Video Backbones {cfg.model.video_backbone_ids}")
     video_backbones, video_transforms = get_video_backbone_and_transform(
         cfg.model.video_backbone_ids, cfg.model.image_resize_strategy, cfg.model.num_frames,
-        scan_unroll=TRAIN_TOWER_SCAN_UNROLL,
+        scan_unroll=train_tower_scan_unroll(cfg.stage),
     )
     overwatch.info(f"Loading LLM Backbone {cfg.model.llm_backbone_id}")
     llm_backbone, tokenizer = get_llm_backbone_and_tokenizer(
