@@ -211,7 +211,7 @@ class LlamaDecoder:
         causal: bool,
         attn_impl: str,
         layer_idx: Optional[Array] = None,
-    ) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
+    ) -> Tuple[Array, Optional[Tuple[Array, Array, Optional[Array], Optional[Array]]]]:
         """One decoder block. ``cache_kv`` holds the FULL stacked [L, ...] cache
         buffers with ``layer_idx`` selecting this block's slice: the new k/v
         positions are written with an indexed dynamic_update_slice into the

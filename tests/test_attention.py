@@ -262,3 +262,22 @@ def test_small_attention_gqa_broadcasts_instead_of_asserting(rng):
     _, k3, v3 = _rand_qkv(rng, B=2, H=4, Hk=3, Tq=48, Tk=48, D=32)
     with pytest.raises(ValueError, match="neither"):
         A._small_attention(q, k3, v3, 32 ** -0.5)  # 4 % 3 != 0
+
+
+def test_pick_block_b_vmem_cap():
+    """block_b * seq must stay inside the library kernel's scoped-VMEM
+    envelope: [8, 12, 3584, 64] with block_b=8 failed to compile on v5e
+    (18.25M > 16 MiB scoped vmem); bsz 4 at the same seq compiles."""
+    # LLM prefill shapes keep the full measured block_b win
+    assert A._pick_block_b(8, 1216) == 8
+    assert A._pick_block_b(2, 1088) == 2
+    # ViViT tower at bsz 8: capped to 4 (the largest compiling factor)
+    assert A._pick_block_b(8, 3584) == 4
+    assert A._pick_block_b(4, 3584) == 4
+    assert A._pick_block_b(2, 3584) == 2
+    # block_b always divides the batch and is >= 1
+    for b in (1, 2, 3, 5, 6, 8, 12):
+        for s in (128, 1216, 3584, 8192, 100000):
+            bb = A._pick_block_b(b, s)
+            assert 1 <= bb <= 8 and b % bb == 0
+            assert bb * s <= 14336 or bb == 1
