@@ -72,12 +72,22 @@ def build_model(num_llm_layers: int, tiny: bool = False):
     # BENCH_TOWER_UNROLL overrides the tower layer-scan unroll (serving
     # default 12; training materializes per stage via
     # train_tower_scan_unroll: align 12, finetune 4).
+    # Accepts a single int (all towers) or a comma list in tower order
+    # (e.g. "12,12,4,4" for languagebind,dinov2,vivit,siglip).
     unroll_env = os.environ.get("BENCH_TOWER_UNROLL")
     towers, _ = get_video_backbone_and_transform(
         ids, image_resize_strategy="resize-naive", num_frames=frames,
-        scan_unroll=int(unroll_env) if unroll_env else None,
+        scan_unroll=(int(unroll_env) if unroll_env and "," not in unroll_env else None),
     )
-    cfg = dataclasses.replace(LLAMA2_7B, num_layers=num_llm_layers, param_dtype=jnp.bfloat16)
+    if unroll_env and "," in unroll_env:
+        for vb, u in zip(towers, unroll_env.split(",")):
+            vb.scan_unroll = int(u)
+    # BENCH_LLM_UNROLL overrides the LLM no-cache layer-scan unroll (the
+    # prefill-logits path; cache-carrying scans always stay 1).
+    cfg = dataclasses.replace(
+        LLAMA2_7B, num_layers=num_llm_layers, param_dtype=jnp.bfloat16,
+        scan_unroll=int(os.environ.get("BENCH_LLM_UNROLL", "1")),
+    )
     spec = LLMSpec("llama2", "__local__/llama2", cfg, PurePromptBuilder, pad_token_id=32000)
     llm = LLMBackbone("llama2-7b-pure", llm_max_length=2048, spec=spec)
     return get_vidlm(

@@ -65,6 +65,14 @@ class DecoderConfig:
     initializer_range: float = 0.02
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # Unroll factor for the NO-CACHE layer scan only (prefill-logits /
+    # training forward): unrolled bodies let XLA overlap the next layer's
+    # weight fetch with the current layer's GEMMs (same trick as
+    # ViTConfig.scan_unroll). The cache-carrying scans (serving prefill +
+    # decode) always run unroll=1 — unrolled bodies defeat the in-place
+    # aliasing of the carried KV buffer (measured collapse, see __call__).
+    # Schedule-only: numerics are identical at any value.
+    scan_unroll: int = 1
 
     @property
     def q_dim(self) -> int:
@@ -407,7 +415,12 @@ class LlamaDecoder:
 
             if remat:
                 layer_fn = jax.checkpoint(layer_fn, prevent_cse=False)
-            h, _ = jax.lax.scan(layer_fn, h, params["layers"])
+            # No cache writes in this branch, so unrolling is aliasing-safe
+            # (unlike the cache-carrying scans above/below, pinned at 1).
+            # Remat keeps unroll=1: wider bodies widen remat live-ranges and
+            # break the compiler-verified v5e-8 training fit.
+            unroll = 1 if remat else self.cfg.scan_unroll
+            h, _ = jax.lax.scan(layer_fn, h, params["layers"], unroll=unroll)
             new_cache = None
 
         m = self._modules()
