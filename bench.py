@@ -80,7 +80,11 @@ def build_model(num_llm_layers: int, tiny: bool = False):
         scan_unroll=(int(unroll_env) if unroll_env and "," not in unroll_env else None),
     )
     if unroll_env and "," in unroll_env:
-        for vb, u in zip(towers, unroll_env.split(",")):
+        parts = unroll_env.split(",")
+        assert len(parts) == len(towers), (
+            f"BENCH_TOWER_UNROLL has {len(parts)} entries for {len(towers)} towers"
+        )
+        for vb, u in zip(towers, parts):
             vb.scan_unroll = int(u)
     # BENCH_LLM_UNROLL overrides the LLM no-cache layer-scan unroll (the
     # prefill-logits path; cache-carrying scans always stay 1).

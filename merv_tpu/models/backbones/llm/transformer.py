@@ -71,7 +71,9 @@ class DecoderConfig:
     # ViTConfig.scan_unroll). The cache-carrying scans (serving prefill +
     # decode) always run unroll=1 — unrolled bodies defeat the in-place
     # aliasing of the carried KV buffer (measured collapse, see __call__).
-    # Schedule-only: numerics are identical at any value.
+    # Schedule-only: same math at any value (fp32 bit-identical; bf16 CPU
+    # outputs can differ by 1 ulp from convert placement across fusion
+    # boundaries — tests/test_scan_unroll.py pins both).
     scan_unroll: int = 1
 
     @property
@@ -386,6 +388,13 @@ class LlamaDecoder:
         cos_sin = _rope_tables(c, positions, h.dtype)
 
         if kv_cache is not None:
+            if remat:
+                raise ValueError(
+                    "remat=True is not supported with a kv_cache: the cached layer "
+                    "scan relies on in-place carry aliasing that jax.checkpoint "
+                    "recomputation would defeat (training never runs a cache; "
+                    "serving never needs remat)"
+                )
             # The stacked cache rides the scan CARRY with per-layer indexed
             # writes (a few KB touched in place), NOT xs->ys slices: the
             # xs->ys form made XLA copy the whole cache every step (~1.7 GB

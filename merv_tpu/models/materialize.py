@@ -87,8 +87,16 @@ TRAIN_TOWER_SCAN_UNROLL_ALIGN = 12
 
 
 def train_tower_scan_unroll(stage: str) -> int:
-    """Tower layer-scan unroll for a training ``stage`` (see table above)."""
-    return TRAIN_TOWER_SCAN_UNROLL_ALIGN if stage.endswith("align") else TRAIN_TOWER_SCAN_UNROLL
+    """Tower layer-scan unroll for a training ``stage`` (see table above).
+
+    Keyed on what the stage TRAINS, not on its name: only the LLM-frozen
+    stages (align / second_align — projector-only training, see
+    ``merv.py::freeze_backbones``) are memory-proven at unroll 12. Every
+    stage that trains the LLM (finetune, full-align, second_finetune,
+    full-finetune) takes the finetune-proven factor — ``full-align`` in
+    particular trains the LLM despite its name.
+    """
+    return TRAIN_TOWER_SCAN_UNROLL_ALIGN if stage in ("align", "second_align") else TRAIN_TOWER_SCAN_UNROLL
 
 
 def get_video_backbone_and_transform(

@@ -48,15 +48,18 @@ def _pick_block(seq: int, target: int) -> int:
     return max(128, (b // 128) * 128) if seq >= 128 else seq
 
 
-def _pick_block_b(batch: int, seq: int) -> int:
+def _pick_block_b(batch: int, seq: int, head_dim: int) -> int:
     """Library-flash batch block: largest divisor of ``batch`` <= 8 — fewer
     grid cells, measured ~7% faster than block_b=1 at both [2,...] and
-    [8,...] LLM prefill shapes — capped so ``block_b * seq`` stays inside
-    the kernel's 16 MiB scoped-VMEM envelope. At [8, 12, 3584, 64] (ViViT
-    tower, bsz 8) block_b=8 allocated 18.25M and failed to compile; bsz 4
-    at seq 3584 (= 14336) compiles, so that's the cap. LLM prefill
-    (seq <= 1216 at bsz 8 = 9728) keeps the full measured win."""
-    cap = max(1, 14336 // max(seq, 1))
+    [8,...] LLM prefill shapes — capped so ``block_b * seq * head_dim``
+    stays inside the kernel's 16 MiB scoped-VMEM envelope. Measured v5e
+    envelope points: [8, 12, 3584, 64] (ViViT tower, bsz 8) = 1.84M
+    elements allocated 18.25M scoped VMEM and FAILED to compile; the
+    largest measured-GOOD config is LLM prefill [8, 32, 1216, 128] = 1.245M
+    elements (compiles, carries the block_b win), which sets the budget.
+    bsz 4 at the ViViT shape (0.92M) also compiles."""
+    budget = 8 * 1216 * 128  # elements: largest measured-good block_b*seq*head_dim
+    cap = max(1, budget // max(seq * head_dim, 1))
     return next(d for d in range(min(batch, 8, cap), 0, -1) if batch % d == 0)
 
 
@@ -606,7 +609,7 @@ def _library_flash_call(q, k, v, causal, scale, qseg, kvseg):
     seg = None if kvseg is None else SegmentIds(q=qseg, kv=kvseg)
     bq = _pick_block(q.shape[2], 512)
     bk = _pick_block(k.shape[2], 512)
-    bb = _pick_block_b(q.shape[0], max(q.shape[2], k.shape[2]))
+    bb = _pick_block_b(q.shape[0], max(q.shape[2], k.shape[2]), q.shape[3])
     sizes = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=bb,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,

@@ -265,19 +265,25 @@ def test_small_attention_gqa_broadcasts_instead_of_asserting(rng):
 
 
 def test_pick_block_b_vmem_cap():
-    """block_b * seq must stay inside the library kernel's scoped-VMEM
-    envelope: [8, 12, 3584, 64] with block_b=8 failed to compile on v5e
-    (18.25M > 16 MiB scoped vmem); bsz 4 at the same seq compiles."""
-    # LLM prefill shapes keep the full measured block_b win
-    assert A._pick_block_b(8, 1216) == 8
-    assert A._pick_block_b(2, 1088) == 2
-    # ViViT tower at bsz 8: capped to 4 (the largest compiling factor)
-    assert A._pick_block_b(8, 3584) == 4
-    assert A._pick_block_b(4, 3584) == 4
-    assert A._pick_block_b(2, 3584) == 2
+    """block_b * seq * head_dim must stay inside the library kernel's
+    scoped-VMEM envelope: [8, 12, 3584, 64] with block_b=8 (1.84M elements)
+    failed to compile on v5e (18.25M > 16 MiB scoped vmem); the largest
+    measured-good config is LLM prefill [8, 32, 1216, 128] (1.245M)."""
+    BUDGET = 8 * 1216 * 128
+    # LLM prefill shapes (head_dim 128) keep the full measured block_b win
+    assert A._pick_block_b(8, 1216, 128) == 8
+    assert A._pick_block_b(2, 1088, 128) == 2
+    # ViViT tower (head_dim 64) at bsz 8: capped to 4
+    assert A._pick_block_b(8, 3584, 64) == 4
+    assert A._pick_block_b(4, 3584, 64) == 4
+    assert A._pick_block_b(2, 3584, 64) == 2
+    # head_dim-128 shapes past the LLM envelope get capped where the old
+    # seq-only cap would have let them through (e.g. bsz 8 padded to 1536)
+    assert A._pick_block_b(8, 1536, 128) * 1536 * 128 <= BUDGET
     # block_b always divides the batch and is >= 1
     for b in (1, 2, 3, 5, 6, 8, 12):
         for s in (128, 1216, 3584, 8192, 100000):
-            bb = A._pick_block_b(b, s)
-            assert 1 <= bb <= 8 and b % bb == 0
-            assert bb * s <= 14336 or bb == 1
+            for d in (64, 128):
+                bb = A._pick_block_b(b, s, d)
+                assert 1 <= bb <= 8 and b % bb == 0
+                assert bb * s * d <= BUDGET or bb == 1

@@ -166,43 +166,6 @@ def test_pos_embed_resample_roundtrip():
     assert out.shape == (1, 16, 64)
 
 
-def test_scan_unroll_is_schedule_only():
-    """unroll is a scheduling knob: any unroll factor must be numerically
-    IDENTICAL to the scanned form (BASELINE.md claims this for the serving
-    default 12 vs the training override 4)."""
-    import dataclasses
-
-    import jax
-
-    cfg = tiny_vit_config(num_layers=6, scan_unroll=1)
-    vit = VisionTransformer(cfg)
-    params = vit.init(jax.random.PRNGKey(0))
-    px = jnp.asarray(np.random.RandomState(7).randn(2, 3, 32, 32).astype(np.float32))
-    ref = np.asarray(vit(params, px))
-    for unroll in (2, 3, 6):
-        v = VisionTransformer(dataclasses.replace(cfg, scan_unroll=unroll))
-        np.testing.assert_array_equal(np.asarray(v(params, px)), ref)
-
-
-def test_backbone_scan_unroll_override():
-    """VideoBackbone.scan_unroll (set by training materialize) must reach the
-    ViT config; serving leaves the tuned default in place."""
-    from merv_tpu.models.materialize import (
-        TRAIN_TOWER_SCAN_UNROLL,
-        TRAIN_TOWER_SCAN_UNROLL_ALIGN,
-        get_video_backbone_and_transform,
-        train_tower_scan_unroll,
-    )
-
-    # per-stage choice: align fits v5e-8 at the fast factor, finetune needs 4
-    assert train_tower_scan_unroll("align") == TRAIN_TOWER_SCAN_UNROLL_ALIGN
-    assert train_tower_scan_unroll("second_align") == TRAIN_TOWER_SCAN_UNROLL_ALIGN
-    assert train_tower_scan_unroll("finetune") == TRAIN_TOWER_SCAN_UNROLL
-    assert train_tower_scan_unroll("full-finetune") == TRAIN_TOWER_SCAN_UNROLL
-
-    (vb,), _ = get_video_backbone_and_transform(
-        ["dinov2-video-all-tokens"], "resize-naive", [16], scan_unroll=TRAIN_TOWER_SCAN_UNROLL
-    )
-    assert vb.vit.cfg.scan_unroll == TRAIN_TOWER_SCAN_UNROLL
-    (vb2,), _ = get_video_backbone_and_transform(["dinov2-video-all-tokens"], "resize-naive", [16])
-    assert vb2.vit.cfg.scan_unroll == ViTConfig.scan_unroll
+# NOTE: the scan-unroll schedule-only + override tests live in
+# tests/test_scan_unroll.py — they need no torch and must not hide behind
+# this module's importorskip.
