@@ -108,12 +108,16 @@ class LLMBackbone:
         hf_token: Optional[str] = None,
         inference_mode: bool = False,
         spec: Optional[LLMSpec] = None,
+        sequence_parallel: bool = False,
     ) -> None:
         assert spec is not None or llm_backbone_id in LLM_SPECS, f"unknown llm backbone {llm_backbone_id}"
         self.identifier = llm_backbone_id
         self.llm_max_length = llm_max_length
         self.inference_mode = inference_mode
         self.spec = spec if spec is not None else LLM_SPECS[llm_backbone_id]
+        # opt the decoder into sp-axis ring attention (takes effect only when
+        # the active mesh has sp>1 — see DecoderConfig.sequence_parallel)
+        self.sequence_parallel = sequence_parallel
         self._tokenizer: Any = None
         self._hf_token = hf_token
 
@@ -122,6 +126,10 @@ class LLMBackbone:
     @property
     def decoder_config(self) -> DecoderConfig:
         cfg = self.spec.decoder_config
+        if self.sequence_parallel and not cfg.sequence_parallel:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, sequence_parallel=True)
         if self.inference_mode:
             # serving stores params in half precision (the reference's
             # inference-mode + autocast contract, base_llm.py:130-138): a 7B

@@ -42,7 +42,7 @@ import numpy as np
 
 from merv_tpu.nn.core import Embed, Linear, RMSNorm, normal_init
 from merv_tpu.ops.attention import attention
-from merv_tpu.parallel.sharding import constrain_batch_dim
+from merv_tpu.parallel.sharding import constrain_batch_dim, get_activation_mesh
 
 Array = jax.Array
 PyTree = Any
@@ -75,6 +75,13 @@ class DecoderConfig:
     # outputs can differ by 1 ulp from convert placement across fusion
     # boundaries — tests/test_scan_unroll.py pins both).
     scan_unroll: int = 1
+    # Sequence/context parallelism (capability beyond the reference, which
+    # caps llm_max_length at 2048 and has no long-sequence story — SURVEY
+    # §5.7): when True AND the active mesh (parallel.sharding.activation_mesh
+    # scope) has an 'sp' axis > 1, the NO-CACHE forward shards activations'
+    # sequence dim over 'sp' and runs attention as an ICI ring
+    # (ops/ring_attention.py). Cache-carrying paths (serving) ignore it.
+    sequence_parallel: bool = False
 
     @property
     def q_dim(self) -> int:
@@ -146,6 +153,32 @@ def _rope_tables(cfg: DecoderConfig, positions: Array, dtype: Any) -> Tuple[Arra
 @dataclass(frozen=True)
 class LlamaDecoder:
     cfg: DecoderConfig
+
+    # -- sequence parallelism ----------------------------------------------------------
+
+    def _sp_mesh(self, seq_len: int):
+        """The active mesh when sp-axis ring attention should run (else None):
+        cfg.sequence_parallel on, a traced activation mesh with sp>1, and a
+        sequence that tiles the ring. Divisibility tolerance mirrors
+        constrain_batch_dim (tiny tests fall back to plain attention)."""
+        if not self.cfg.sequence_parallel:
+            return None
+        mesh = get_activation_mesh()
+        from merv_tpu.parallel.mesh import SEQ_AXIS
+
+        if mesh is None or mesh.shape.get(SEQ_AXIS, 1) <= 1 or seq_len % mesh.shape[SEQ_AXIS] != 0:
+            return None
+        return mesh
+
+    def _constrain_h(self, h: Array) -> Array:
+        """Activation constraint at layer boundaries: batch over data/fsdp,
+        plus the sequence dim over 'sp' when sequence parallelism is live."""
+        mesh = self._sp_mesh(h.shape[1])
+        if mesh is not None:
+            from merv_tpu.ops.ring_attention import constrain_seq_dim
+
+            return constrain_seq_dim(h, mesh)
+        return constrain_batch_dim(h)
 
     # -- submodule builders ----------------------------------------------------------
 
@@ -286,11 +319,17 @@ class LlamaDecoder:
                 k, v = take(ck_all), take(cv_all)
             new_cache = (ck_all, cv_all, cks_all, cvs_all)
 
-        out = attention(
-            q, k.astype(q.dtype), v.astype(q.dtype),
-            causal=causal, kv_mask=kv_mask, impl=attn_impl,
-            q_offset=None if cache_kv is None else cache_len,
-        )
+        sp_mesh = self._sp_mesh(T) if (cache_kv is None and kv_mask is None) else None
+        if sp_mesh is not None:
+            from merv_tpu.ops.ring_attention import ring_attention
+
+            out = ring_attention(q, k.astype(q.dtype), v.astype(q.dtype), sp_mesh, causal=causal)
+        else:
+            out = attention(
+                q, k.astype(q.dtype), v.astype(q.dtype),
+                causal=causal, kv_mask=kv_mask, impl=attn_impl,
+                q_offset=None if cache_kv is None else cache_len,
+            )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, c.q_dim)
         h = h + m["o_proj"](lp["attn"]["o_proj"], out)
 
@@ -339,7 +378,7 @@ class LlamaDecoder:
         c = self.cfg
         if inputs_embeds is None:
             inputs_embeds = self.embed_input_ids(params, input_ids)
-        h = constrain_batch_dim(inputs_embeds.astype(c.compute_dtype))
+        h = self._constrain_h(inputs_embeds.astype(c.compute_dtype))
         B, T, _ = h.shape
 
         if kv_cache is not None:
@@ -418,7 +457,7 @@ class LlamaDecoder:
             new_cache = KVCache(ck, cv, kv_cache.length + T, cks, cvs)
         else:
             def layer_fn(carry, lp):
-                h = constrain_batch_dim(carry)
+                h = self._constrain_h(carry)
                 h, _ = self._layer(lp, h, cos_sin, kv_mask, None, None, True, attn_impl)
                 return h, None
 

@@ -129,11 +129,13 @@ def get_llm_backbone_and_tokenizer(
     llm_max_length: int = 2048,
     hf_token: Optional[str] = None,
     inference_mode: bool = False,
+    sequence_parallel: bool = False,
 ) -> Tuple[LLMBackbone, Any]:
     if llm_backbone_id not in LLM_BACKBONES:
         raise ValueError(f"LLM Backbone `{llm_backbone_id}` is not supported!")
     llm = LLMBackbone(
-        llm_backbone_id, llm_max_length=llm_max_length, hf_token=hf_token, inference_mode=inference_mode
+        llm_backbone_id, llm_max_length=llm_max_length, hf_token=hf_token,
+        inference_mode=inference_mode, sequence_parallel=sequence_parallel,
     )
     return llm, llm.tokenizer
 

@@ -11,6 +11,12 @@ Axes:
 - ``data``   — data parallelism (batch dimension)
 - ``fsdp``   — parameter/optimizer sharding (ZeRO-like); rides ICI
 - ``tensor`` — tensor parallelism for very large LLMs (optional, default 1)
+- ``sp``     — sequence/context parallelism for long-video token counts
+  (optional, default 1): decoder activations shard the sequence dim and
+  attention runs as a ring over ICI (``merv_tpu/ops/ring_attention.py``).
+  The reference has NO long-sequence story beyond flash-attn
+  (reference ``merv/conf/models.py:117`` caps llm_max_length at 2048); this
+  axis is the TPU-native capability extension SURVEY §5.7 calls for.
 
 The reference's ``fsdp-shard-grad-op`` / ``fsdp-full-shard`` strategies map to
 how parameters/optimizer state are laid out over the ``fsdp`` axis (see
@@ -30,7 +36,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
-MESH_AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+SEQ_AXIS = "sp"
+MESH_AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS)
 
 _runtime_initialized = False
 
@@ -58,9 +65,10 @@ class MeshConfig:
     data: int = 1
     fsdp: int = -1
     tensor: int = 1
+    seq: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        dims = [self.data, self.fsdp, self.tensor]
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
+        dims = [self.data, self.fsdp, self.tensor, self.seq]
         if dims.count(-1) > 1:
             raise ValueError("At most one mesh axis may be -1")
         known = int(np.prod([d for d in dims if d != -1]))
@@ -95,7 +103,7 @@ def build_mesh(
 
 def single_device_mesh() -> Mesh:
     """A 1x1x1 mesh over the default device (inference / tests)."""
-    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1), MESH_AXES)
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1), MESH_AXES)
 
 
 def batch_spec(mesh: Mesh) -> P:

@@ -161,6 +161,14 @@ def set_activation_mesh(mesh: Optional[Mesh]) -> None:
     _ACTIVATION_MESH = mesh
 
 
+def get_activation_mesh() -> Optional[Mesh]:
+    """The mesh registered for activation constraints at this trace point
+    (None outside a training/serving scope). Model code uses it to pick
+    mesh-aware ops — e.g. the decoder routes attention through the sp-axis
+    ring when the active mesh has sequence parallelism."""
+    return _ACTIVATION_MESH
+
+
 @contextlib.contextmanager
 def activation_mesh(mesh: Optional[Mesh]):
     """Scope the activation-constraint mesh to a trace: with_sharding_constraint

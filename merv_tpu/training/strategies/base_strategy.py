@@ -87,7 +87,10 @@ class TrainingStrategy(ABC):
         self.loss_chunk_size = loss_chunk_size
 
         self.mesh = mesh if mesh is not None else build_mesh()
-        self.world_size = int(np.prod(list(self.mesh.shape.values())))
+        # batch parallelism spans data x fsdp only: tensor/sp axes split the
+        # per-example compute, not the batch (batch_spec pins activations to
+        # data+fsdp), so the global-batch math must not count them
+        self.world_size = int(self.mesh.shape["data"] * self.mesh.shape["fsdp"])
         # batch-sharded activation pinning at layer boundaries happens inside
         # jit_train_step's activation_mesh scope — never registered globally
         # (a leaked training mesh would infect later serving jits)

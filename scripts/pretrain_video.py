@@ -55,6 +55,12 @@ class PretrainConfig:
     run_root_dir: Path = Path("runs")
     seed: int = 7
 
+    # Sequence/context parallelism: ring size for the LLM sequence dim
+    # (mesh 'sp' axis; 1 = off). Capability beyond the reference — lets
+    # long-video configs (raised num_frames / projector_token_length) shard
+    # attention over chips instead of hitting single-chip memory.
+    mesh_seq: int = 1
+
     # HF Hub Credentials (for any gated models)
     hf_token: Union[str, Path] = Path(".hf_token")
 
@@ -119,7 +125,8 @@ def pretrain(cfg: PretrainConfig) -> None:
     )
     overwatch.info(f"Loading LLM Backbone {cfg.model.llm_backbone_id}")
     llm_backbone, tokenizer = get_llm_backbone_and_tokenizer(
-        cfg.model.llm_backbone_id, llm_max_length=cfg.model.llm_max_length, hf_token=hf_token
+        cfg.model.llm_backbone_id, llm_max_length=cfg.model.llm_max_length, hf_token=hf_token,
+        sequence_parallel=cfg.mesh_seq > 1,
     )
 
     vidlm = get_vidlm(
@@ -143,8 +150,15 @@ def pretrain(cfg: PretrainConfig) -> None:
         prompt_builder_fn=llm_backbone.prompt_builder_fn, num_frames=cfg.model.num_frames,
     )
 
+    mesh = None
+    if cfg.mesh_seq > 1:
+        from merv_tpu.parallel import MeshConfig, build_mesh
+
+        mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=1, seq=cfg.mesh_seq))
+
     strategy = get_train_strategy(
         cfg.train_strategy, vidlm,
+        mesh=mesh,
         stage=cfg.stage, epochs=cfg.epochs, max_steps=cfg.max_steps,
         global_batch_size=cfg.global_batch_size, per_device_batch_size=cfg.per_device_batch_size,
         learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay, max_grad_norm=cfg.max_grad_norm,

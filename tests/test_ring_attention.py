@@ -1,0 +1,253 @@
+"""Ring attention (sequence/context parallelism over the ``sp`` mesh axis).
+
+Capability the reference does NOT have (SURVEY §5.7: no ring/context
+parallelism anywhere; long sequences avoided via token resampling +
+llm_max_length 2048). Parity is pinned against the materialized-scores
+reference at fp32 on the virtual 8-device CPU mesh, including gradients
+(training runs the ring backward as a reversed scan of ppermutes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merv_tpu.ops.attention import attention_reference
+from merv_tpu.ops.ring_attention import constrain_seq_dim, ring_attention
+from merv_tpu.parallel import MeshConfig, build_mesh
+from merv_tpu.parallel.mesh import SEQ_AXIS
+
+
+@pytest.fixture(scope="module")
+def sp_mesh():
+    # 2-way data x 4-way sequence ring
+    return build_mesh(MeshConfig(data=2, fsdp=1, tensor=1, seq=4))
+
+
+def _qkv(key, B, H, Hk, S, D, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, S, D), dtype)
+    k = jax.random.normal(kk, (B, Hk, S, D), dtype)
+    v = jax.random.normal(kv, (B, Hk, S, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_matches_reference_fp32(sp_mesh, causal):
+    q, k, v = _qkv(jax.random.PRNGKey(0), 2, 4, 4, 64, 16)
+    ref = attention_reference(q, k, v, causal=causal)
+    out = jax.jit(
+        lambda q, k, v: ring_attention(q, k, v, sp_mesh, causal=causal)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_gqa(sp_mesh, causal):
+    q, k, v = _qkv(jax.random.PRNGKey(1), 2, 8, 2, 32, 8)
+    ref = attention_reference(q, k, v, causal=causal)
+    out = jax.jit(
+        lambda q, k, v: ring_attention(q, k, v, sp_mesh, causal=causal)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6)
+
+
+def test_ring_bf16(sp_mesh):
+    q, k, v = _qkv(jax.random.PRNGKey(2), 2, 4, 4, 64, 16, jnp.bfloat16)
+    ref = attention_reference(q, k, v, causal=True)
+    out = jax.jit(lambda q, k, v: ring_attention(q, k, v, sp_mesh, causal=True))(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+
+def test_ring_grads_match_reference(sp_mesh):
+    """The ring must be reverse-differentiable (scan + ppermute transpose) and
+    match the reference attention's gradients — this is what makes it usable
+    in the training step, not just serving."""
+    q, k, v = _qkv(jax.random.PRNGKey(3), 1, 2, 2, 32, 8)
+
+    def loss_ring(q, k, v):
+        out = ring_attention(q, k, v, sp_mesh, causal=True)
+        return jnp.sum(out * out)
+
+    def loss_ref(q, k, v):
+        out = attention_reference(q, k, v, causal=True)
+        return jnp.sum(out * out)
+
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf), atol=1e-5, rtol=1e-5)
+
+
+def test_ring_falls_back_off_mesh():
+    """sp=1 mesh routes to the plain attention dispatcher."""
+    mesh = build_mesh(MeshConfig(data=2, fsdp=4, tensor=1))
+    assert mesh.shape[SEQ_AXIS] == 1
+    q, k, v = _qkv(jax.random.PRNGKey(4), 2, 2, 2, 16, 8)
+    ref = attention_reference(q, k, v, causal=True)
+    out = ring_attention(q, k, v, mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6)
+
+
+def test_ring_rejects_indivisible_seq(sp_mesh):
+    q, k, v = _qkv(jax.random.PRNGKey(5), 1, 2, 2, 30, 8)
+    with pytest.raises(ValueError, match="not divisible"):
+        ring_attention(q, k, v, sp_mesh, causal=True)
+
+
+def test_constrain_seq_dim(sp_mesh):
+    x = jnp.zeros((4, 64, 8))
+    y = jax.jit(lambda x: constrain_seq_dim(x, sp_mesh))(x)
+    assert y.shape == x.shape
+    # indivisible seq: silent no-op (tiny-test tolerance)
+    z = constrain_seq_dim(jnp.zeros((4, 30, 8)), sp_mesh)
+    assert z.shape == (4, 30, 8)
+    assert constrain_seq_dim(x, None) is x
+
+
+# -- decoder integration -------------------------------------------------------------
+
+
+def _tiny_decoder(sequence_parallel):
+    import dataclasses
+
+    from merv_tpu.models.backbones.llm.transformer import LlamaDecoder, tiny_decoder_config
+
+    cfg = tiny_decoder_config(
+        num_layers=3, compute_dtype=jnp.float32, sequence_parallel=sequence_parallel
+    )
+    return LlamaDecoder(cfg), LlamaDecoder(dataclasses.replace(cfg, sequence_parallel=False))
+
+
+def test_decoder_sequence_parallel_matches_plain(sp_mesh):
+    """The no-cache decoder forward under an sp mesh must match the plain
+    forward: sequence parallelism is a layout/collective choice, not math."""
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    dec_sp, dec = _tiny_decoder(True)
+    params = dec.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(2, 64, (2, 16)), jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    ref, _ = jax.jit(lambda p, i, m: dec(p, input_ids=i, attention_mask=m))(params, ids, mask)
+
+    def fwd(p, i, m):
+        with activation_mesh(sp_mesh):
+            return dec_sp(p, input_ids=i, attention_mask=m)
+
+    out, _ = jax.jit(fwd)(params, ids, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_decoder_sp_grads_and_remat(sp_mesh):
+    """Training path: grads under sequence parallelism (incl. remat'd layer
+    scan wrapping the ring's shard_map) match the plain decoder's."""
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    dec_sp, dec = _tiny_decoder(True)
+    params = dec.init(jax.random.PRNGKey(1))
+    ids = jnp.asarray(np.random.RandomState(1).randint(2, 64, (2, 16)), jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    def loss_plain(p):
+        logits, _ = dec(p, input_ids=ids, attention_mask=mask, remat=True)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    def loss_sp(p):
+        with activation_mesh(sp_mesh):
+            logits, _ = dec_sp(p, input_ids=ids, attention_mask=mask, remat=True)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_plain)(params)
+    l_sp, g_sp = jax.jit(jax.value_and_grad(loss_sp))(params)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), atol=1e-6, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+        g_sp, g_ref,
+    )
+
+
+def test_decoder_sp_indivisible_seq_falls_back(sp_mesh):
+    """A sequence that doesn't tile the ring silently uses plain attention
+    (same tolerance contract as constrain_batch_dim for tiny shapes)."""
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    dec_sp, dec = _tiny_decoder(True)
+    params = dec.init(jax.random.PRNGKey(2))
+    ids = jnp.asarray(np.random.RandomState(2).randint(2, 64, (2, 10)), jnp.int32)
+
+    ref, _ = dec(params, input_ids=ids)
+    with activation_mesh(sp_mesh):
+        out, _ = jax.jit(lambda p, i: dec_sp(p, input_ids=i))(params, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_decoder_sp_serving_cache_unaffected(sp_mesh):
+    """The cache-carrying (serving) path ignores sequence_parallel: decode
+    steps are latency-bound single positions, not ring material."""
+    from merv_tpu.models.backbones.llm.transformer import KVCache
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    dec_sp, dec = _tiny_decoder(True)
+    params = dec.init(jax.random.PRNGKey(3))
+    ids = jnp.asarray(np.random.RandomState(3).randint(2, 64, (1, 8)), jnp.int32)
+    cache = KVCache.create(dec_sp.cfg, 1, 16, dtype=jnp.float32)
+    with activation_mesh(sp_mesh):
+        out_sp, _ = dec_sp(params, input_ids=ids, kv_cache=cache)
+    out, _ = dec(params, input_ids=ids, kv_cache=cache)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out), atol=1e-6, rtol=1e-6)
+
+
+def test_merv_full_model_sp_loss_and_grads(sp_mesh):
+    """Sequence parallelism through the REAL multimodal stack: tiny MERV
+    (tower -> projector -> fusion -> splice-after-BOS -> decoder) computes the
+    same loss and gradients under an sp mesh as on a single device — the
+    training-step-level guarantee, not just the attention op's."""
+    import dataclasses as dc
+
+    from merv_tpu.models.backbones.llm.base_llm import tiny_llm_backbone
+    from merv_tpu.models.backbones.video.dinov2_video import DinoV2VideoBackbone
+    from merv_tpu.models.backbones.video.vit import tiny_vit_config
+    from merv_tpu.models.materialize import get_vidlm
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    t = tiny_vit_config(num_cls_tokens=1, num_register_tokens=4, use_layerscale=True)
+    TinyDino = type("TinyDino", (DinoV2VideoBackbone,), {
+        "vit_config": property(lambda self, _t=t: dc.replace(_t)),
+    })
+    tower = TinyDino("dinov2-video-all-tokens", "resize-naive", default_image_size=32, num_frames=4)
+    llm = tiny_llm_backbone(compute_dtype=jnp.float32, sequence_parallel=True)
+    model = get_vidlm(
+        "tiny-sp", "no-align+3davg+linear", "cross_attention_avg_lq",
+        [tower], llm, projector_token_length=4, visual_feature_length=16,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+
+    B, T = 2, 16  # visual 16 + text 16 = 32 tokens: tiles the 4-ring
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(2, 64, (B, T)), jnp.int32).at[:, 0].set(1)
+    mask = jnp.ones((B, T), jnp.int32)
+    labels = jnp.asarray(rs.randint(2, 64, (B, T)), jnp.int32)
+    videos = [jnp.asarray(rs.randn(B, *tower.default_video_resolution), jnp.float32)]
+
+    def loss(p):
+        out = model.forward(p, ids, mask, videos, labels=labels)
+        return out["loss"]
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params)
+
+    def loss_sp(p):
+        with activation_mesh(sp_mesh):
+            return loss(p)
+
+    l_sp, g_sp = jax.jit(jax.value_and_grad(loss_sp))(params)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), atol=1e-5, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-4, rtol=5e-3
+        ),
+        g_sp, g_ref,
+    )

@@ -337,7 +337,7 @@ def test_pretrain_cli_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setattr(DinoV2VideoBackbone, "vit_config", scaled(tiny_dino))
     monkeypatch.setattr(SiglipVideoBackbone, "vit_config", scaled(tiny_sig))
 
-    def fake_llm(llm_backbone_id, llm_max_length=2048, hf_token=None, inference_mode=False):
+    def fake_llm(llm_backbone_id, llm_max_length=2048, hf_token=None, inference_mode=False, **kw):
         llm = tiny_llm_backbone()
         return llm, llm.tokenizer
 
