@@ -109,6 +109,8 @@ class LLMBackbone:
         inference_mode: bool = False,
         spec: Optional[LLMSpec] = None,
         sequence_parallel: bool = False,
+        pipeline_parallel: bool = False,
+        pp_microbatches: int = 0,
     ) -> None:
         assert spec is not None or llm_backbone_id in LLM_SPECS, f"unknown llm backbone {llm_backbone_id}"
         self.identifier = llm_backbone_id
@@ -118,6 +120,10 @@ class LLMBackbone:
         # opt the decoder into sp-axis ring attention (takes effect only when
         # the active mesh has sp>1 — see DecoderConfig.sequence_parallel)
         self.sequence_parallel = sequence_parallel
+        # opt the decoder into pp-axis GPipe (takes effect only when the
+        # active mesh has pp>1 — see DecoderConfig.pipeline_parallel)
+        self.pipeline_parallel = pipeline_parallel
+        self.pp_microbatches = pp_microbatches
         self._tokenizer: Any = None
         self._hf_token = hf_token
 
@@ -130,6 +136,12 @@ class LLMBackbone:
             import dataclasses as _dc
 
             cfg = _dc.replace(cfg, sequence_parallel=True)
+        if self.pipeline_parallel and not cfg.pipeline_parallel:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(
+                cfg, pipeline_parallel=True, pp_microbatches=self.pp_microbatches
+            )
         if self.inference_mode:
             # serving stores params in half precision (the reference's
             # inference-mode + autocast contract, base_llm.py:130-138): a 7B

@@ -82,6 +82,14 @@ class DecoderConfig:
     # sequence dim over 'sp' and runs attention as an ICI ring
     # (ops/ring_attention.py). Cache-carrying paths (serving) ignore it.
     sequence_parallel: bool = False
+    # Pipeline parallelism (capability beyond the reference): when True AND
+    # the active mesh has a 'pp' axis > 1, the NO-CACHE forward shards the
+    # stacked layer params over 'pp' and runs a microbatched GPipe schedule
+    # (parallel/pipeline.py) instead of the layer scan. pp_microbatches = 0
+    # picks min(2*pp, batch). Mutually exclusive with sequence_parallel
+    # (nested manual shard_maps over different axes are not supported).
+    pipeline_parallel: bool = False
+    pp_microbatches: int = 0
 
     @property
     def q_dim(self) -> int:
@@ -168,6 +176,33 @@ class LlamaDecoder:
 
         if mesh is None or mesh.shape.get(SEQ_AXIS, 1) <= 1 or seq_len % mesh.shape[SEQ_AXIS] != 0:
             return None
+        return mesh
+
+    def _pp_mesh(self, batch: int):
+        """The active mesh when pp-axis GPipe should run (else None): cfg flag
+        on, a traced activation mesh with pp>1, layers tile the stages, and a
+        microbatch count exists. Divisibility failures fall back to the plain
+        scan (mirrors _sp_mesh's tolerance for tiny tests)."""
+        if not self.cfg.pipeline_parallel:
+            return None
+        from merv_tpu.parallel.mesh import PIPE_AXIS, SEQ_AXIS
+        from merv_tpu.parallel.pipeline import resolve_microbatches
+        from merv_tpu.parallel.sharding import get_activation_mesh as _gam
+
+        mesh = _gam()
+        if mesh is None or mesh.shape.get(PIPE_AXIS, 1) <= 1:
+            return None
+        pp = mesh.shape[PIPE_AXIS]
+        if self.cfg.num_layers % pp != 0:
+            return None
+        if resolve_microbatches(batch, pp, self.cfg.pp_microbatches) is None:
+            return None
+        if self.cfg.sequence_parallel and mesh.shape.get(SEQ_AXIS, 1) > 1:
+            raise ValueError(
+                "pipeline_parallel and sequence_parallel cannot both be active "
+                "on one mesh (pp>1 and sp>1): the GPipe shard_map cannot nest "
+                "the sp ring shard_map. Pick one per run."
+            )
         return mesh
 
     def _constrain_h(self, h: Array) -> Array:
@@ -456,19 +491,39 @@ class LlamaDecoder:
             (h, ck, cv, cks, cvs, _), _ = jax.lax.scan(layer_fn, carry0, params["layers"])
             new_cache = KVCache(ck, cv, kv_cache.length + T, cks, cvs)
         else:
-            def layer_fn(carry, lp):
-                h = self._constrain_h(carry)
-                h, _ = self._layer(lp, h, cos_sin, kv_mask, None, None, True, attn_impl)
-                return h, None
+            pp_mesh = self._pp_mesh(B)
+            if pp_mesh is not None:
+                # GPipe over the 'pp' axis: stages = layer blocks, microbatched
+                # ring of activations + rope tables (parallel/pipeline.py).
+                # kv_mask is None on this path by the right-padding contract.
+                from merv_tpu.parallel.mesh import PIPE_AXIS
+                from merv_tpu.parallel.pipeline import pipeline_layer_scan, resolve_microbatches
 
-            if remat:
-                layer_fn = jax.checkpoint(layer_fn, prevent_cse=False)
-            # No cache writes in this branch, so unrolling is aliasing-safe
-            # (unlike the cache-carrying scans above/below, pinned at 1).
-            # Remat keeps unroll=1: wider bodies widen remat live-ranges and
-            # break the compiler-verified v5e-8 training fit.
-            unroll = 1 if remat else self.cfg.scan_unroll
-            h, _ = jax.lax.scan(layer_fn, h, params["layers"], unroll=unroll)
+                def pp_layer(lp, hh, cs):
+                    hh, _ = self._layer(lp, hh, cs, None, None, None, True, attn_impl)
+                    return hh
+
+                h = pipeline_layer_scan(
+                    pp_layer, h, cos_sin, params["layers"], pp_mesh,
+                    microbatches=resolve_microbatches(
+                        B, pp_mesh.shape[PIPE_AXIS], self.cfg.pp_microbatches
+                    ),
+                    remat=remat,
+                )
+            else:
+                def layer_fn(carry, lp):
+                    h = self._constrain_h(carry)
+                    h, _ = self._layer(lp, h, cos_sin, kv_mask, None, None, True, attn_impl)
+                    return h, None
+
+                if remat:
+                    layer_fn = jax.checkpoint(layer_fn, prevent_cse=False)
+                # No cache writes in this branch, so unrolling is aliasing-safe
+                # (unlike the cache-carrying scans above/below, pinned at 1).
+                # Remat keeps unroll=1: wider bodies widen remat live-ranges and
+                # break the compiler-verified v5e-8 training fit.
+                unroll = 1 if remat else self.cfg.scan_unroll
+                h, _ = jax.lax.scan(layer_fn, h, params["layers"], unroll=unroll)
             new_cache = None
 
         m = self._modules()

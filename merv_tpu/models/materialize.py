@@ -130,12 +130,15 @@ def get_llm_backbone_and_tokenizer(
     hf_token: Optional[str] = None,
     inference_mode: bool = False,
     sequence_parallel: bool = False,
+    pipeline_parallel: bool = False,
+    pp_microbatches: int = 0,
 ) -> Tuple[LLMBackbone, Any]:
     if llm_backbone_id not in LLM_BACKBONES:
         raise ValueError(f"LLM Backbone `{llm_backbone_id}` is not supported!")
     llm = LLMBackbone(
         llm_backbone_id, llm_max_length=llm_max_length, hf_token=hf_token,
         inference_mode=inference_mode, sequence_parallel=sequence_parallel,
+        pipeline_parallel=pipeline_parallel, pp_microbatches=pp_microbatches,
     )
     return llm, llm.tokenizer
 

@@ -17,6 +17,14 @@ Axes:
   The reference has NO long-sequence story beyond flash-attn
   (reference ``merv/conf/models.py:117`` caps llm_max_length at 2048); this
   axis is the TPU-native capability extension SURVEY §5.7 calls for.
+- ``pp``     — pipeline parallelism over decoder DEPTH (optional, default 1):
+  the stacked LLM layer params shard their layer dim over ``pp`` and the
+  no-cache forward runs a microbatched GPipe schedule with activations
+  hopping stages via ``ppermute`` (``merv_tpu/parallel/pipeline.py``).
+  Capability beyond the reference (its FSDP story tops out at one 8-GPU
+  node, reference ``merv/training/strategies/fsdp.py``); on TPU this is
+  what lets the 13B llama2 recipes (``conf/models.py`` reproduction-llava
+  variants) train on pods where fsdp-only hits the per-chip HBM wall.
 
 The reference's ``fsdp-shard-grad-op`` / ``fsdp-full-shard`` strategies map to
 how parameters/optimizer state are laid out over the ``fsdp`` axis (see
@@ -37,7 +45,8 @@ DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
 SEQ_AXIS = "sp"
-MESH_AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS)
+PIPE_AXIS = "pp"
+MESH_AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS, PIPE_AXIS)
 
 _runtime_initialized = False
 
@@ -66,9 +75,10 @@ class MeshConfig:
     fsdp: int = -1
     tensor: int = 1
     seq: int = 1
+    pipe: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
-        dims = [self.data, self.fsdp, self.tensor, self.seq]
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int, int]:
+        dims = [self.data, self.fsdp, self.tensor, self.seq, self.pipe]
         if dims.count(-1) > 1:
             raise ValueError("At most one mesh axis may be -1")
         known = int(np.prod([d for d in dims if d != -1]))
@@ -102,8 +112,8 @@ def build_mesh(
 
 
 def single_device_mesh() -> Mesh:
-    """A 1x1x1 mesh over the default device (inference / tests)."""
-    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1), MESH_AXES)
+    """A single-device mesh over the default device (inference / tests)."""
+    return Mesh(np.asarray(jax.devices()[:1]).reshape((1,) * len(MESH_AXES)), MESH_AXES)
 
 
 def batch_spec(mesh: Mesh) -> P:

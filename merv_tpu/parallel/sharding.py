@@ -29,7 +29,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from merv_tpu.parallel.mesh import FSDP_AXIS, TENSOR_AXIS
+from merv_tpu.parallel.mesh import FSDP_AXIS, PIPE_AXIS, TENSOR_AXIS
 
 PyTree = Any
 
@@ -103,15 +103,36 @@ def fsdp_specs(
 
     ``overrides`` (e.g. tensor-parallel rules) take priority; a ``None`` from
     the override table falls through to the auto policy.
+
+    When the mesh has a ``pp`` axis > 1, the LLM decoder's stacked layer
+    params (every leaf ``[L, ...]`` under a ``layers/`` path — only the
+    decoder stacks by layer, see ``LlamaDecoder.init``) shard their LAYER dim
+    over ``pp``: each device stores only its pipeline stage's layers, which is
+    the memory point of pipeline parallelism. FSDP then shards the remaining
+    dims as usual, so pp x fsdp compose.
     """
     fsdp_size = mesh.shape[FSDP_AXIS]
+    pp_size = mesh.shape.get(PIPE_AXIS, 1)
+    layers_re = re.compile(r"(^|/)layers/")
 
     def _spec(path, leaf):
+        shape = np.shape(leaf)
+        stacked_pp = (
+            pp_size > 1 and layers_re.search(path_str(path))
+            and len(shape) >= 1 and shape[0] % pp_size == 0
+        )
         if overrides is not None:
             s = overrides.spec_for(path_str(path), leaf)
             if s is not None:
+                # compose pp with override rules (e.g. tensor-parallel specs
+                # leave the stacked layer dim unspecified)
+                if stacked_pp and (len(s) == 0 or s[0] is None):
+                    s = P(PIPE_AXIS, *tuple(s)[1:])
                 return s
-        return infer_fsdp_spec(np.shape(leaf), fsdp_size, min_weight_size=min_weight_size)
+        if stacked_pp:
+            rest = infer_fsdp_spec(shape[1:], fsdp_size, min_weight_size=min_weight_size)
+            return P(PIPE_AXIS, *tuple(rest))
+        return infer_fsdp_spec(shape, fsdp_size, min_weight_size=min_weight_size)
 
     return jax.tree_util.tree_map_with_path(_spec, params)
 

@@ -47,10 +47,16 @@ from typing import Any, Dict, List, Tuple
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# virtual device count must be fixed before the backend initializes, which
+# happens on first real jax use — peek argv ahead of the full parse
+_N_DEVICES = 8
+if "--devices" in sys.argv:
+    _N_DEVICES = int(sys.argv[sys.argv.index("--devices") + 1])
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_num_cpu_devices", _N_DEVICES)
 
 import jax.numpy as jnp
 import numpy as np
@@ -61,12 +67,15 @@ GIB = 1024**3
 V5E_HBM_GIB = 16.0
 
 
-def build_flagship(model_id: str, num_llm_layers: int):
+def build_flagship(
+    model_id: str, num_llm_layers: int, llm_size: str = "7b",
+    pipeline_parallel: bool = False, sequence_parallel: bool = False,
+):
     """Full-scale model + host transforms (mirrors scripts/pretrain_video.py)."""
     from merv_tpu.conf.models import ModelConfig
     from merv_tpu.models.backbones.llm.base_llm import LLMBackbone, LLMSpec
     from merv_tpu.models.backbones.llm.prompting import PurePromptBuilder
-    from merv_tpu.models.backbones.llm.transformer import LLAMA2_7B
+    from merv_tpu.models.backbones.llm.transformer import LLAMA2_7B, LLAMA2_13B
     from merv_tpu.models.materialize import (
         get_video_backbone_and_transform,
         get_vidlm,
@@ -78,9 +87,15 @@ def build_flagship(model_id: str, num_llm_layers: int):
         image_resize_strategy=cfg.image_resize_strategy,
         num_frames=cfg.num_frames,
     )
-    dec = dataclasses.replace(LLAMA2_7B, num_layers=num_llm_layers, param_dtype=jnp.bfloat16)
-    spec = LLMSpec("llama2", "__local__/llama2-7b", dec, PurePromptBuilder, pad_token_id=32000)
-    llm = LLMBackbone("llama2-7b-pure", llm_max_length=cfg.llm_max_length, spec=spec)
+    base = LLAMA2_13B if llm_size == "13b" else LLAMA2_7B
+    if num_llm_layers <= 0:
+        num_llm_layers = base.num_layers
+    dec = dataclasses.replace(base, num_layers=num_llm_layers, param_dtype=jnp.bfloat16)
+    spec = LLMSpec("llama2", f"__local__/llama2-{llm_size}", dec, PurePromptBuilder, pad_token_id=32000)
+    llm = LLMBackbone(
+        f"llama2-{llm_size}-pure", llm_max_length=cfg.llm_max_length, spec=spec,
+        pipeline_parallel=pipeline_parallel, sequence_parallel=sequence_parallel,
+    )
     model = get_vidlm(
         model_id, cfg.arch_specifier, cfg.feature_fusion, towers, llm,
         projector_token_length=cfg.projector_token_length,
@@ -110,6 +125,7 @@ def sds(shape, dtype, sharding=None):
 def lower_stage(
     model, transforms, cfg, stage: str, seq_len: int,
     pdbs: int = 0, loss_chunk_size: int = 256,
+    mesh_pipe: int = 1, mesh_seq: int = 1, n_devices: int = 8,
 ) -> Tuple[Any, Dict[str, Any]]:
     from merv_tpu.parallel import MeshConfig, batch_spec, build_mesh
     from merv_tpu.training.optimizers import build_optimizer, build_schedule
@@ -129,8 +145,10 @@ def lower_stage(
     from merv_tpu.models.materialize import train_tower_scan_unroll
     for vb in model.video_backbones:
         vb.scan_unroll = train_tower_scan_unroll(stage)
-    mesh = build_mesh(MeshConfig(data=1, fsdp=8, tensor=1))
-    world = 8
+    mesh_cfg = MeshConfig(data=1, fsdp=-1, tensor=1, seq=mesh_seq, pipe=mesh_pipe)
+    mesh = build_mesh(mesh_cfg)
+    # batch parallelism spans data x fsdp only (sp/pp split per-example work)
+    world = mesh.shape["data"] * mesh.shape["fsdp"]
     accum = recipe["global_batch_size"] // recipe["per_device_batch_size"] // world
     assert accum >= 1, (recipe, world)
     micro = recipe["per_device_batch_size"] * world
@@ -218,7 +236,7 @@ def lower_stage(
     info = {
         "stage": stage,
         "strategy": recipe["train_strategy"],
-        "mesh": {"data": 1, "fsdp": 8},
+        "mesh": dict(mesh.shape),
         "accum": accum,
         "per_device_batch_size": recipe["per_device_batch_size"],
         "micro_batch_global": micro,
@@ -243,14 +261,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="both", choices=["align", "finetune", "both"])
     ap.add_argument("--model", default="merv-full")
-    ap.add_argument("--llm-layers", type=int, default=32)
+    ap.add_argument("--llm", default="7b", choices=["7b", "13b"])
+    ap.add_argument("--llm-layers", type=int, default=0, help="0 = chosen LLM's full depth")
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--pdbs", type=int, default=0, help="per-device batch override (0 = recipe value)")
     ap.add_argument("--loss-chunk", type=int, default=256, help="chunked-CE block (0 = direct loss)")
+    ap.add_argument("--devices", type=int, default=8, help="virtual device count (v5e-8, v5e-16, ...)")
+    ap.add_argument("--mesh-pipe", type=int, default=1, help="pipeline stages ('pp' axis)")
+    ap.add_argument("--mesh-seq", type=int, default=1, help="sequence-parallel ring size ('sp' axis)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
-    model, transforms, cfg = build_flagship(args.model, args.llm_layers)
+    model, transforms, cfg = build_flagship(
+        args.model, args.llm_layers, llm_size=args.llm,
+        pipeline_parallel=args.mesh_pipe > 1, sequence_parallel=args.mesh_seq > 1,
+    )
     stages = ["align", "finetune"] if args.stage == "both" else [args.stage]
     rows: List[Dict[str, Any]] = []
     ok = True
@@ -258,6 +283,7 @@ def main() -> int:
         _, info = lower_stage(
             model, transforms, cfg, stage, args.seq_len,
             pdbs=args.pdbs, loss_chunk_size=args.loss_chunk,
+            mesh_pipe=args.mesh_pipe, mesh_seq=args.mesh_seq, n_devices=args.devices,
         )
         rows.append(info)
         ok = ok and info["fits_16gib"]
@@ -270,10 +296,15 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    print(json.dumps({"model": args.model, "llm_layers": args.llm_layers, "stages": rows}))
+    summary = {
+        "model": args.model, "llm": args.llm, "llm_layers": args.llm_layers,
+        "devices": args.devices, "mesh_pipe": args.mesh_pipe, "mesh_seq": args.mesh_seq,
+        "stages": rows,
+    }
+    print(json.dumps(summary))
     if args.json_out:
         with open(args.json_out, "w") as f:
-            json.dump({"model": args.model, "llm_layers": args.llm_layers, "stages": rows}, f, indent=2)
+            json.dump(summary, f, indent=2)
     if not ok:
         print("FAIL: a stage exceeds the 16 GiB/device v5e HBM budget", file=sys.stderr)
         return 1

@@ -60,6 +60,13 @@ class PretrainConfig:
     # long-video configs (raised num_frames / projector_token_length) shard
     # attention over chips instead of hitting single-chip memory.
     mesh_seq: int = 1
+    # Pipeline parallelism: stage count for LLM depth (mesh 'pp' axis; 1 =
+    # off; mutually exclusive with mesh_seq > 1). Capability beyond the
+    # reference — shards the decoder's layer stack over chips (GPipe
+    # microbatch schedule) for 13B-class recipes where fsdp-only hits the
+    # per-chip HBM wall. pp_microbatches = 0 picks min(2*pp, batch).
+    mesh_pipe: int = 1
+    pp_microbatches: int = 0
 
     # HF Hub Credentials (for any gated models)
     hf_token: Union[str, Path] = Path(".hf_token")
@@ -124,9 +131,12 @@ def pretrain(cfg: PretrainConfig) -> None:
         scan_unroll=train_tower_scan_unroll(cfg.stage),
     )
     overwatch.info(f"Loading LLM Backbone {cfg.model.llm_backbone_id}")
+    if cfg.mesh_seq > 1 and cfg.mesh_pipe > 1:
+        raise ValueError("--mesh_seq and --mesh_pipe are mutually exclusive (pick one per run)")
     llm_backbone, tokenizer = get_llm_backbone_and_tokenizer(
         cfg.model.llm_backbone_id, llm_max_length=cfg.model.llm_max_length, hf_token=hf_token,
         sequence_parallel=cfg.mesh_seq > 1,
+        pipeline_parallel=cfg.mesh_pipe > 1, pp_microbatches=cfg.pp_microbatches,
     )
 
     vidlm = get_vidlm(
@@ -151,10 +161,12 @@ def pretrain(cfg: PretrainConfig) -> None:
     )
 
     mesh = None
-    if cfg.mesh_seq > 1:
+    if cfg.mesh_seq > 1 or cfg.mesh_pipe > 1:
         from merv_tpu.parallel import MeshConfig, build_mesh
 
-        mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=1, seq=cfg.mesh_seq))
+        mesh = build_mesh(
+            MeshConfig(data=1, fsdp=-1, tensor=1, seq=cfg.mesh_seq, pipe=cfg.mesh_pipe)
+        )
 
     strategy = get_train_strategy(
         cfg.train_strategy, vidlm,

@@ -18,15 +18,16 @@ from merv_tpu.parallel import (
 
 
 def test_mesh_resolve():
-    assert MeshConfig(data=2, fsdp=-1, tensor=1).resolve(8) == (2, 4, 1, 1)
-    assert MeshConfig(data=1, fsdp=8, tensor=1).resolve(8) == (1, 8, 1, 1)
-    assert MeshConfig(data=1, fsdp=-1, tensor=1, seq=4).resolve(8) == (1, 2, 1, 4)
+    assert MeshConfig(data=2, fsdp=-1, tensor=1).resolve(8) == (2, 4, 1, 1, 1)
+    assert MeshConfig(data=1, fsdp=8, tensor=1).resolve(8) == (1, 8, 1, 1, 1)
+    assert MeshConfig(data=1, fsdp=-1, tensor=1, seq=4).resolve(8) == (1, 2, 1, 4, 1)
+    assert MeshConfig(data=1, fsdp=-1, tensor=1, pipe=4).resolve(8) == (1, 2, 1, 1, 4)
     with pytest.raises(ValueError):
         MeshConfig(data=3, fsdp=-1).resolve(8)
 
 
 def test_build_mesh_axes(mesh8):
-    assert mesh8.shape == {"data": 2, "fsdp": 4, "tensor": 1, "sp": 1}
+    assert mesh8.shape == {"data": 2, "fsdp": 4, "tensor": 1, "sp": 1, "pp": 1}
 
 
 def test_infer_fsdp_spec():
