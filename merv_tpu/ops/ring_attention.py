@@ -44,6 +44,11 @@ from merv_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, SEQ_AXIS, TENSOR_AXIS
 Array = jax.Array
 
 
+def _ring_q_block(sq: int, target: int) -> int:
+    """Largest divisor of ``sq`` <= target (q chunks must tile the local shard)."""
+    return next(b for b in range(min(target, sq), 0, -1) if sq % b == 0)
+
+
 def _ring_local(
     q: Array,
     k: Array,
@@ -53,11 +58,26 @@ def _ring_local(
     axis_name: str,
     causal: bool,
     scale: float,
+    block_q: int = 512,
 ) -> Array:
     """Per-device ring attention body (runs inside shard_map).
 
     q: [B, H, Sq, D] local query shard (ring position ``axis_index``);
     k/v: [B, Hk, Sk, D] local key/value shard, rotated n times around the ring.
+
+    Memory: the local query shard is processed in ``block_q``-row chunks so
+    live scores are ``[B, H, block_q, Sk]`` instead of ``[B, H, Sq, Sk]`` —
+    without this, a long-context shard (the very case sequence parallelism
+    exists for) would materialize an (S/n)^2 fp32 score block per ring step.
+    The chunk update is remat'd (``jax.checkpoint``) so reverse-mode AD
+    recomputes each chunk's scores instead of saving them per ring step (the
+    flash-attention trade; per-step saved state stays O(S/n) in the carries).
+
+    A causal note: blocks with ``src > idx`` are fully masked, but the ring
+    still runs them — every device must ppermute in lockstep each step, so
+    skipping the matmul saves energy, not wall-clock. Load-balancing the
+    causal ring (zigzag block order) is the known fix and a possible future
+    upgrade.
     """
     B, H, Sq, D = q.shape
     Hk = k.shape[1]
@@ -66,49 +86,66 @@ def _ring_local(
         v = jnp.repeat(v, H // Hk, axis=1)
     Sk = k.shape[2]
     idx = jax.lax.axis_index(axis_name)
-    q_pos = idx * Sq + jnp.arange(Sq, dtype=jnp.int32)
+    bq = _ring_q_block(Sq, block_q)
+    nq = Sq // bq
+    q_pos = (idx * Sq + jnp.arange(Sq, dtype=jnp.int32)).reshape(nq, bq)
+    q_chunks = q.reshape(B, H, nq, bq, D).transpose(2, 0, 1, 3, 4)  # [nq,B,H,bq,D]
 
-    o0 = jnp.zeros((B, H, Sq, D), jnp.float32)
-    m0 = jnp.full((B, H, Sq), DEFAULT_MASK_VALUE, jnp.float32)
-    l0 = jnp.zeros((B, H, Sq), jnp.float32)
+    o0 = jnp.zeros((nq, B, H, bq, D), jnp.float32)
+    m0 = jnp.full((nq, B, H, bq), DEFAULT_MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((nq, B, H, bq), jnp.float32)
     perm = [(d, (d + 1) % n) for d in range(n)]
 
-    def body(carry, j):
-        o, m, l, kc, vc = carry
-        # device ``idx`` holds block ``src`` at step j (each step every device
-        # forwards its current block to its +1 ring neighbor)
-        src = (idx - j) % n
+    def chunk_update(qc, qpos_c, oc, mc, lc, kc, vc, k_pos):
+        """Online-softmax update of one q chunk against the current kv block.
+        qc [B,H,bq,D]; oc fp32 [B,H,bq,D]; mc/lc fp32 [B,H,bq]."""
         s = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", qc, kc, preferred_element_type=jnp.float32
         ) * scale
         if causal:
-            k_pos = src * Sk + jnp.arange(Sk, dtype=jnp.int32)
-            valid = (q_pos[:, None] >= k_pos[None, :]).astype(jnp.float32)
+            valid = (qpos_c[:, None] >= k_pos[None, :]).astype(jnp.float32)
             s = jnp.where(valid[None, None].astype(bool), s, DEFAULT_MASK_VALUE)
         m_blk = jnp.max(s, axis=-1)
-        m_new = jnp.maximum(m, m_blk)
+        m_new = jnp.maximum(mc, m_blk)
         p = jnp.exp(s - m_new[..., None])
         if causal:
             # a block whose keys are ALL masked for some query row leaves that
             # row's m at the MASK floor, making exp(MASK - MASK) = 1 — zero the
             # masked entries explicitly so they contribute nothing to l/o
             p = p * valid[None, None]
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1)
+        alpha = jnp.exp(mc - m_new)
+        l_new = lc * alpha + jnp.sum(p, axis=-1)
         pv = jnp.einsum(
             "bhqk,bhkd->bhqd", p.astype(vc.dtype), vc, preferred_element_type=jnp.float32
         )
-        o = o * alpha[..., None] + pv
+        o_new = oc * alpha[..., None] + pv
+        return o_new, m_new, l_new
+
+    chunk_update = jax.checkpoint(chunk_update, prevent_cse=False)
+
+    def body(carry, j):
+        o, m, l, kc, vc = carry
+        # device ``idx`` holds block ``src`` at step j (each step every device
+        # forwards its current block to its +1 ring neighbor)
+        src = (idx - j) % n
+        k_pos = src * Sk + jnp.arange(Sk, dtype=jnp.int32)
+
+        def per_chunk(_, xs):
+            qc, qpos_c, oc, mc, lc = xs
+            return _, chunk_update(qc, qpos_c, oc, mc, lc, kc, vc, k_pos)
+
+        _, (o, m, l) = jax.lax.scan(per_chunk, 0, (q_chunks, q_pos, o, m, l))
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
-        return (o, m_new, l, kc, vc), None
+        return (o, m, l, kc, vc), None
 
     (o, _, l, _, _), _ = jax.lax.scan(
         body, (o0, m0, l0, k, v), jnp.arange(n, dtype=jnp.int32)
     )
     # causal self-attention guarantees l >= 1 (the diagonal); the maximum is a
     # belt-and-braces guard for fully-masked rows in exotic layouts
-    return (o / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+    o = o / jnp.maximum(l, 1e-30)[..., None]
+    return o.transpose(1, 2, 0, 3, 4).reshape(B, H, Sq, D).astype(q.dtype)
 
 
 def _batch_axes(mesh: Mesh, batch: int) -> Tuple[str, ...]:
@@ -133,6 +170,7 @@ def ring_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     sp_axis: str = SEQ_AXIS,
+    block_q: int = 512,
 ) -> Array:
     """Sequence-parallel attention over ``mesh``'s ``sp`` axis.
 
@@ -168,7 +206,7 @@ def ring_attention(
     spec = P(bspec_p if bspec else None, hspec, sp_axis, None)
 
     local = functools.partial(
-        _ring_local, n=n, axis_name=sp_axis, causal=causal, scale=scale
+        _ring_local, n=n, axis_name=sp_axis, causal=causal, scale=scale, block_q=block_q
     )
     return jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False

@@ -82,6 +82,36 @@ def test_ring_grads_match_reference(sp_mesh):
         np.testing.assert_allclose(np.asarray(gr), np.asarray(gf), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_q_chunking_matches(sp_mesh, causal):
+    """The q-chunked streaming update (block_q < Sq, the long-context memory
+    path) is the same math as a single chunk — incl. gradients through the
+    remat'd chunk body."""
+    q, k, v = _qkv(jax.random.PRNGKey(6), 1, 2, 2, 64, 8)  # Sq=16/device
+
+    def loss(q, k, v, bq):
+        out = ring_attention(q, k, v, sp_mesh, causal=causal, block_q=bq)
+        return jnp.sum(out * out)
+
+    ref = attention_reference(q, k, v, causal=causal)
+    out = jax.jit(lambda q, k, v: ring_attention(q, k, v, sp_mesh, causal=causal, block_q=4))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6)
+
+    g_1 = jax.jit(jax.grad(lambda q, k, v: loss(q, k, v, 512), argnums=(0, 1, 2)))(q, k, v)
+    g_4 = jax.jit(jax.grad(lambda q, k, v: loss(q, k, v, 4), argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g_4, g_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_ring_q_block_divisor():
+    from merv_tpu.ops.ring_attention import _ring_q_block
+
+    assert _ring_q_block(1024, 512) == 512
+    assert _ring_q_block(1088, 512) == 272  # divisor, not a pad
+    assert _ring_q_block(7, 512) == 7
+    assert _ring_q_block(30, 8) == 6
+
+
 def test_ring_falls_back_off_mesh():
     """sp=1 mesh routes to the plain attention dispatcher."""
     mesh = build_mesh(MeshConfig(data=2, fsdp=4, tensor=1))
