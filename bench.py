@@ -22,6 +22,14 @@ import sys
 import time
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # env alone does not reliably bypass the pre-registered axon plugin (the
+    # sitecustomize quirk the verify skill documents): with the tunnel down,
+    # backend discovery can still block on axon. The in-process config pin is
+    # what scripts/memory_proof.py and tests/conftest.py use — same here.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -197,7 +205,36 @@ def run_bench(model, batch: int, text_len: int, loop_iters: int = 8) -> float:
     return batch / per_iter  # videos/sec
 
 
+def _probe_device(timeout_s: int = 180) -> None:
+    """Fail fast (rc 1, one stderr line) when the TPU backend is unreachable.
+
+    A dead axon tunnel makes the first backend init (``jax.devices()``) block
+    FOREVER — observed 2026-08-18: the relay stopped answering and every jax
+    process hung indefinitely. The probe runs the init in a subprocess with a
+    deadline so a driver invoking ``python bench.py`` records a failure in
+    minutes instead of hanging for the whole round. CPU runs skip it.
+    """
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: device backend init did not respond within {timeout_s}s "
+            "(axon tunnel down?) — aborting instead of hanging"
+        )
+    except subprocess.CalledProcessError as e:
+        raise SystemExit(f"bench: device backend init failed: {e.stderr.decode()[-500:]}")
+
+
 def main() -> None:
+    if "BENCH_SINGLE" not in os.environ:  # children inherit a proven backend
+        _probe_device()
     platform = jax.devices()[0].platform
     tiny = platform == "cpu" and os.environ.get("BENCH_FULL", "0") != "1"
 
