@@ -255,6 +255,34 @@ def test_decoder_pp_and_sp_both_active_raises():
             dec_pp(params, input_ids=ids)
 
 
+def test_decoder_pp_frozen_params_stop_gradient(pp2_mesh):
+    """Align-stage shape: stop_gradient'd layer params (frozen LLM) through
+    the GPipe shard_map — activation cotangents must still flow to the inputs
+    (the spliced visual tokens train) while layer grads are exactly zero."""
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    dec_pp, dec = _tiny_decoder(True)
+    params = dec.init(jax.random.PRNGKey(5))
+    emb = jnp.asarray(np.random.RandomState(5).randn(4, 12, dec.cfg.hidden_size), jnp.float32)
+
+    def frozen(p):
+        return {**p, "layers": jax.tree_util.tree_map(jax.lax.stop_gradient, p["layers"])}
+
+    def loss_plain(p, e):
+        logits, _ = dec(frozen(p), inputs_embeds=e)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    def loss_pp(p, e):
+        with activation_mesh(pp2_mesh):
+            logits, _ = dec_pp(frozen(p), inputs_embeds=e)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    (l_ref, g_ref) = jax.value_and_grad(loss_plain, argnums=1)(params, emb)
+    (l_pp, g_pp) = jax.jit(jax.value_and_grad(loss_pp, argnums=1))(params, emb)
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_ref), atol=1e-5, rtol=1e-4)
+
+
 def test_merv_full_model_pp_loss_and_grads(pp2_mesh):
     """Pipeline parallelism through the REAL multimodal stack: tiny MERV
     (tower -> projector -> fusion -> splice-after-BOS -> decoder) computes the
