@@ -187,9 +187,8 @@ class LlamaDecoder:
             return None
         from merv_tpu.parallel.mesh import PIPE_AXIS, SEQ_AXIS
         from merv_tpu.parallel.pipeline import resolve_microbatches
-        from merv_tpu.parallel.sharding import get_activation_mesh as _gam
 
-        mesh = _gam()
+        mesh = get_activation_mesh()
         if mesh is None or mesh.shape.get(PIPE_AXIS, 1) <= 1:
             return None
         pp = mesh.shape[PIPE_AXIS]
@@ -452,11 +451,12 @@ class LlamaDecoder:
                 # tests/debug paths; jit-traced masks rely on the contract)
                 am = np.asarray(attention_mask).astype(bool)
                 is_prefix = bool((am[:, 1:] <= am[:, :-1]).all())
-                assert is_prefix, (
-                    "decoder no-cache forward requires a right-padding prefix "
-                    "attention_mask ([1]*n + [0]*pad per row); left-padded or "
-                    "interior-masked batches would silently attend masked keys"
-                )
+                if not is_prefix:  # raise, not assert: must survive python -O
+                    raise ValueError(
+                        "decoder no-cache forward requires a right-padding prefix "
+                        "attention_mask ([1]*n + [0]*pad per row); left-padded or "
+                        "interior-masked batches would silently attend masked keys"
+                    )
             kv_mask = None
 
         cos_sin = _rope_tables(c, positions, h.dtype)

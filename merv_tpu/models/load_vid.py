@@ -86,7 +86,7 @@ def _tensor_axis_active(mesh: Optional[Any] = None) -> bool:
     from merv_tpu.parallel.mesh import TENSOR_AXIS
     from merv_tpu.parallel import sharding as _sh
 
-    mesh = mesh if mesh is not None else _sh._ACTIVATION_MESH
+    mesh = mesh if mesh is not None else _sh.get_activation_mesh()
     return mesh is not None and mesh.shape.get(TENSOR_AXIS, 1) > 1
 
 

@@ -732,12 +732,15 @@ def chunked_causal_lm_loss(
         hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
         shifted = jnp.pad(shifted, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
     nb = (T + pad) // block
-    hb = hidden.reshape(B, nb, block, E).transpose(1, 0, 2, 3)
-    lb = shifted.reshape(B, nb, block).transpose(1, 0, 2)
 
-    def body(h_blk: Array, l_blk: Array):
+    # blocks are dynamic-sliced out of the ORIGINAL [B, T, E] buffer: a
+    # reshape+transpose into scan xs would make XLA materialize a second
+    # full-activation copy in exactly the path this function exists to slim
+    def body(i: Array):
         from merv_tpu.parallel.sharding import constrain_batch_dim
 
+        h_blk = jax.lax.dynamic_slice_in_dim(hidden, i * block, block, axis=1)
+        l_blk = jax.lax.dynamic_slice_in_dim(shifted, i * block, block, axis=1)
         logits = decoder.lm_head_apply(llm_params, constrain_batch_dim(h_blk)).astype(jnp.float32)
         valid = l_blk != IGNORE_INDEX
         safe = jnp.where(valid, l_blk, 0)
@@ -746,12 +749,14 @@ def chunked_causal_lm_loss(
         nll = jnp.where(valid, nll, 0.0)
         return nll.sum(), valid.sum()
 
-    def scan_body(carry, x):
-        s, c = jax.checkpoint(body)(*x)
+    def scan_body(carry, i):
+        s, c = jax.checkpoint(body)(i)
         return (carry[0] + s, carry[1] + c), None
 
     (nll_sum, count), _ = jax.lax.scan(
-        scan_body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (hb, lb)
+        scan_body,
+        (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        jnp.arange(nb, dtype=jnp.int32),
     )
     return nll_sum / jnp.maximum(count, 1)
 

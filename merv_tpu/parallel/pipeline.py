@@ -57,15 +57,23 @@ PyTree = Any
 def resolve_microbatches(batch: int, pp: int, requested: int = 0) -> Optional[int]:
     """Pick the GPipe microbatch count M.
 
-    ``requested`` > 0 is honored when it divides the batch; otherwise the
-    default is ``min(2*pp, batch)`` rounded down to a divisor of ``batch``
-    (2*pp keeps the bubble fraction <= 1/3). Returns None when no M > 1 fits
-    a meaningful pipeline (batch of 1 still pipelines with M=1).
+    ``requested`` > 0 must divide the batch — a mismatch raises instead of
+    silently disabling the pipeline (the params are already pp-sharded by
+    ``fsdp_specs``; falling back to the plain scan would redundantly
+    re-gather the full decoder stack on every chip, an OOM/slowdown with no
+    log at exactly the 13B scale pp exists for). With no request, the default
+    is ``min(2*pp, batch)`` rounded down to a divisor of ``batch`` (2*pp
+    keeps the bubble fraction <= 1/3); batch of 1 still pipelines with M=1.
     """
     if batch <= 0:
         return None
     if requested > 0:
-        return requested if batch % requested == 0 else None
+        if batch % requested != 0:
+            raise ValueError(
+                f"pp_microbatches={requested} does not divide the per-step "
+                f"batch {batch}; pick a divisor (or 0 for the default)"
+            )
+        return requested
     m = min(2 * pp, batch)
     while m > 1 and batch % m != 0:
         m -= 1

@@ -105,15 +105,18 @@ def fsdp_specs(
     the override table falls through to the auto policy.
 
     When the mesh has a ``pp`` axis > 1, the LLM decoder's stacked layer
-    params (every leaf ``[L, ...]`` under a ``layers/`` path — only the
-    decoder stacks by layer, see ``LlamaDecoder.init``) shard their LAYER dim
-    over ``pp``: each device stores only its pipeline stage's layers, which is
-    the memory point of pipeline parallelism. FSDP then shards the remaining
-    dims as usual, so pp x fsdp compose.
+    params (every leaf ``[L, ...]`` under ``llm_backbone/layers/``, see
+    ``LlamaDecoder.init``) shard their LAYER dim over ``pp``: each device
+    stores only its pipeline stage's layers, which is the memory point of
+    pipeline parallelism. FSDP then shards the remaining dims as usual, so
+    pp x fsdp compose. The match is scoped to the LLM subtree on purpose:
+    the vision towers ALSO stack per-layer params under a ``layers`` key
+    (``vit.py init``), but they run outside the pipeline shard_map — pp-
+    sharding them would force GSPMD cross-stage gathers on every tower layer.
     """
     fsdp_size = mesh.shape[FSDP_AXIS]
     pp_size = mesh.shape.get(PIPE_AXIS, 1)
-    layers_re = re.compile(r"(^|/)layers/")
+    layers_re = re.compile(r"(^|/)llm_backbone/layers/")
 
     def _spec(path, leaf):
         shape = np.shape(leaf)

@@ -37,7 +37,8 @@ def test_resolve_microbatches():
     assert resolve_microbatches(6, 4) == 6       # 8 -> 7 -> 6 divides
     assert resolve_microbatches(1, 4) == 1       # B=1 still pipelines
     assert resolve_microbatches(8, 2, requested=2) == 2
-    assert resolve_microbatches(8, 2, requested=3) is None  # doesn't divide
+    with pytest.raises(ValueError, match="does not divide"):
+        resolve_microbatches(8, 2, requested=3)  # loud, not a silent fallback
     assert resolve_microbatches(0, 2) is None
 
 
@@ -129,24 +130,30 @@ def test_pipeline_rejects_bad_shapes(pp4_mesh):
 
 def test_fsdp_specs_shard_layer_stack_over_pp(pp2_mesh):
     params = {
-        "layers": {"mlp": {"kernel": np.zeros((4, 512, 256), np.float32)}},
-        "embed_tokens": {"embedding": np.zeros((1024, 256), np.float32)},
+        "llm_backbone": {
+            "layers": {"mlp": {"kernel": np.zeros((4, 512, 256), np.float32)}},
+            "embed_tokens": {"embedding": np.zeros((1024, 256), np.float32)},
+        },
+        # towers ALSO stack per-layer params under a 'layers' key but run
+        # OUTSIDE the pipeline shard_map — they must never be pp-sharded
+        "video_backbones": {
+            "0": {"layers": {"mlp": {"kernel": np.zeros((4, 512, 256), np.float32)}}},
+        },
     }
     specs = fsdp_specs(params, pp2_mesh)
-    # stacked layer leaf: layer dim on pp, fsdp on the largest remaining dim
-    assert specs["layers"]["mlp"]["kernel"] == P(PIPE_AXIS, "fsdp", None)
-    # non-stacked leaves never see pp
-    assert PIPE_AXIS not in jax.tree_util.tree_leaves(
-        [tuple(specs["embed_tokens"]["embedding"])]
-    )
+    # stacked LLM layer leaf: layer dim on pp, fsdp on the largest remaining dim
+    assert specs["llm_backbone"]["layers"]["mlp"]["kernel"] == P(PIPE_AXIS, "fsdp", None)
+    # tower layer stacks and non-stacked leaves never see pp
+    assert PIPE_AXIS not in tuple(specs["video_backbones"]["0"]["layers"]["mlp"]["kernel"])
+    assert PIPE_AXIS not in tuple(specs["llm_backbone"]["embed_tokens"]["embedding"])
 
 
 def test_fsdp_specs_pp_composes_with_tp_overrides(pp2_mesh):
     from merv_tpu.parallel import llm_tensor_parallel_rules
 
-    params = {"layers": {"attn": {"q_proj": {"kernel": np.zeros((4, 512, 256), np.float32)}}}}
+    params = {"llm_backbone": {"layers": {"attn": {"q_proj": {"kernel": np.zeros((4, 512, 256), np.float32)}}}}}
     specs = fsdp_specs(params, pp2_mesh, overrides=llm_tensor_parallel_rules())
-    assert specs["layers"]["attn"]["q_proj"]["kernel"] == P(PIPE_AXIS, None, "tensor")
+    assert specs["llm_backbone"]["layers"]["attn"]["q_proj"]["kernel"] == P(PIPE_AXIS, None, "tensor")
 
 
 # -- decoder integration ---------------------------------------------------------------
