@@ -82,6 +82,12 @@ class DecoderConfig:
     # sequence dim over 'sp' and runs attention as an ICI ring
     # (ops/ring_attention.py). Cache-carrying paths (serving) ignore it.
     sequence_parallel: bool = False
+    # Load-balanced causal ring (zigzag token layout, ring_attention.py
+    # zigzag_perm): halves per-step ring compute by pairing early/late chunks
+    # per device. Applied when the sequence tiles 2*sp; one gather in + one
+    # out per forward (amortized over the whole layer stack). Numerics are
+    # identical (tests pin it); the flag exists to A/B the schedule.
+    sp_zigzag: bool = True
     # Pipeline parallelism (capability beyond the reference): when True AND
     # the active mesh has a 'pp' axis > 1, the NO-CACHE forward shards the
     # stacked layer params over 'pp' and runs a microbatched GPipe schedule
@@ -288,6 +294,7 @@ class LlamaDecoder:
         causal: bool,
         attn_impl: str,
         layer_idx: Optional[Array] = None,
+        sp_zigzag: bool = False,
     ) -> Tuple[Array, Optional[Tuple[Array, Array, Optional[Array], Optional[Array]]]]:
         """One decoder block. ``cache_kv`` holds the FULL stacked [L, ...] cache
         buffers with ``layer_idx`` selecting this block's slice: the new k/v
@@ -357,7 +364,10 @@ class LlamaDecoder:
         if sp_mesh is not None:
             from merv_tpu.ops.ring_attention import ring_attention
 
-            out = ring_attention(q, k.astype(q.dtype), v.astype(q.dtype), sp_mesh, causal=causal)
+            out = ring_attention(
+                q, k.astype(q.dtype), v.astype(q.dtype), sp_mesh,
+                causal=causal, zigzag=sp_zigzag,
+            )
         else:
             out = attention(
                 q, k.astype(q.dtype), v.astype(q.dtype),
@@ -459,6 +469,27 @@ class LlamaDecoder:
                     )
             kv_mask = None
 
+        # Zigzag layout for causal sequence-parallel forwards: permute tokens
+        # ONCE for the whole layer stack (per-layer permutes would pay an
+        # all-to-all per layer) so each sp shard holds one early + one late
+        # chunk, halving per-step ring compute (_ring_local_zigzag). Inverse
+        # permute after the stack restores original order for loss/readout.
+        # Position-based masking makes this exact under right padding: pad
+        # keys keep their late physical indices through the permutation.
+        zig_inv = None
+        if kv_cache is None and c.sp_zigzag:
+            spm = self._sp_mesh(T)
+            if spm is not None:
+                from merv_tpu.parallel.mesh import SEQ_AXIS as _SP
+                nsp = spm.shape[_SP]
+                if T % (2 * nsp) == 0:
+                    from merv_tpu.ops.ring_attention import zigzag_perm
+
+                    zperm = zigzag_perm(T, nsp)
+                    zig_inv = np.argsort(zperm)
+                    h = h[:, zperm]
+                    positions = positions[:, zperm]
+
         cos_sin = _rope_tables(c, positions, h.dtype)
 
         if kv_cache is not None:
@@ -513,7 +544,10 @@ class LlamaDecoder:
             else:
                 def layer_fn(carry, lp):
                     h = self._constrain_h(carry)
-                    h, _ = self._layer(lp, h, cos_sin, kv_mask, None, None, True, attn_impl)
+                    h, _ = self._layer(
+                        lp, h, cos_sin, kv_mask, None, None, True, attn_impl,
+                        sp_zigzag=zig_inv is not None,
+                    )
                     return h, None
 
                 if remat:
@@ -524,6 +558,8 @@ class LlamaDecoder:
                 # break the compiler-verified v5e-8 training fit.
                 unroll = 1 if remat else self.cfg.scan_unroll
                 h, _ = jax.lax.scan(layer_fn, h, params["layers"], unroll=unroll)
+                if zig_inv is not None:
+                    h = h[:, zig_inv]
             new_cache = None
 
         m = self._modules()

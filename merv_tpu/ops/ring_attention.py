@@ -73,11 +73,13 @@ def _ring_local(
     recomputes each chunk's scores instead of saving them per ring step (the
     flash-attention trade; per-step saved state stays O(S/n) in the carries).
 
-    A causal note: blocks with ``src > idx`` are fully masked, but the ring
-    still runs them — every device must ppermute in lockstep each step, so
-    skipping the matmul saves energy, not wall-clock. Load-balancing the
-    causal ring (zigzag block order) is the known fix and a possible future
-    upgrade.
+    A causal note: in THIS (natural-layout) ring, blocks with ``src > idx``
+    are fully masked but still computed — every device must ppermute in
+    lockstep each step, so skipping the matmul alone saves energy, not
+    wall-clock. :func:`_ring_local_zigzag` is the load-balanced fix the
+    decoder uses for causal sp (see its docstring); this natural-order body
+    remains the non-causal path and the fallback when the sequence doesn't
+    tile the zigzag layout.
     """
     B, H, Sq, D = q.shape
     Hk = k.shape[1]
@@ -148,6 +150,155 @@ def _ring_local(
     return o.transpose(1, 2, 0, 3, 4).reshape(B, H, Sq, D).astype(q.dtype)
 
 
+def zigzag_perm(seq: int, n: int) -> np.ndarray:
+    """Gather indices mapping natural token order -> zigzag layout.
+
+    The sequence splits into ``2n`` chunks; ring position ``d`` owns chunks
+    ``d`` and ``2n-1-d`` (one early, one late). Under causal attention this
+    equalizes useful work across the ring: with natural contiguous shards,
+    device 0's keys are visible to everyone while device n-1's are visible
+    to almost no one, so half of every lockstep ring step is masked waste on
+    SOME device; with the zigzag pairing every device does exactly half a
+    block of fully-visible work per step (see _ring_local_zigzag).
+    Returns ``perm`` with ``x_zigzag = x[..., perm, :]``; invert with
+    ``np.argsort(perm)``.
+    """
+    assert seq % (2 * n) == 0, (seq, n)
+    c = seq // (2 * n)
+    chunks = np.arange(seq).reshape(2 * n, c)
+    order = [i for d in range(n) for i in (d, 2 * n - 1 - d)]
+    return chunks[order].reshape(-1)
+
+
+def _ring_local_zigzag(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    n: int,
+    axis_name: str,
+    scale: float,
+    block_q: int = 512,
+) -> Array:
+    """Load-balanced CAUSAL ring body; inputs are in zigzag layout.
+
+    Device ``d``'s local rows are [chunk d ; chunk 2n-1-d] of the global
+    sequence (``zigzag_perm``). Per ring step ``j > 0`` the incoming kv block
+    (originally device ``s = (d-j) mod n``) decomposes against the local
+    queries into exactly HALF a block of fully-visible work — uniformly
+    across devices, with no masked waste:
+
+    - ``s < d`` (no ring wraparound): the incoming EARLY chunk (index s)
+      precedes both local q chunks, the incoming LATE chunk (2n-1-s) follows
+      both -> ALL local queries attend the early kv half. [2c x c]
+    - ``s > d`` (wrapped): both incoming chunks lie between the local pair
+      (after chunk d, before chunk 2n-1-d) -> the local LATE q chunk attends
+      the WHOLE incoming block; the early q chunk attends none. [c x 2c]
+
+    Equal FLOPs either way => per-step wall-clock is half the natural-order
+    ring's full block, and no device idles. ``lax.cond`` picks the branch at
+    runtime per device (same output shapes, different internals). Step 0
+    (self block) runs the position-masked diagonal update. The q side
+    streams in ``block_q`` chunks with remat, like the natural-order body.
+
+    Differentiable by construction (cond/scan/ppermute all transpose).
+    """
+    B, H, Sq, D = q.shape
+    Hk = k.shape[1]
+    if Hk != H:
+        k = jnp.repeat(k, H // Hk, axis=1)
+        v = jnp.repeat(v, H // Hk, axis=1)
+    assert Sq % 2 == 0 and k.shape[2] == Sq, (q.shape, k.shape)
+    c = Sq // 2
+    idx = jax.lax.axis_index(axis_name)
+    bq = _ring_q_block(c, block_q)  # chunks must tile each c-row half
+    nq = Sq // bq
+    nqh = nq // 2
+    # local positions: [chunk idx ; chunk 2n-1-idx]
+    pos = jnp.concatenate([
+        idx * c + jnp.arange(c, dtype=jnp.int32),
+        (2 * n - 1 - idx) * c + jnp.arange(c, dtype=jnp.int32),
+    ]).reshape(nq, bq)
+    q_chunks = q.reshape(B, H, nq, bq, D).transpose(2, 0, 1, 3, 4)
+
+    o0 = jnp.zeros((nq, B, H, bq, D), jnp.float32)
+    m0 = jnp.full((nq, B, H, bq), DEFAULT_MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((nq, B, H, bq), jnp.float32)
+    perm = [(d, (d + 1) % n) for d in range(n)]
+
+    def upd(qc, oc, mc, lc, kc, vc, valid=None):
+        """Online-softmax update; ``valid`` [bq, Sk] bool or None (all-visible)."""
+        s = jnp.einsum("bhqd,bhkd->bhqk", qc, kc, preferred_element_type=jnp.float32) * scale
+        if valid is not None:
+            s = jnp.where(valid[None, None], s, DEFAULT_MASK_VALUE)
+        m_blk = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(mc, m_blk)
+        p = jnp.exp(s - m_new[..., None])
+        if valid is not None:
+            p = p * valid[None, None].astype(jnp.float32)
+        alpha = jnp.exp(mc - m_new)
+        l_new = lc * alpha + jnp.sum(p, axis=-1)
+        pv = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vc.dtype), vc, preferred_element_type=jnp.float32)
+        return oc * alpha[..., None] + pv, m_new, l_new
+
+    upd = jax.checkpoint(upd, prevent_cse=False, static_argnums=())
+
+    # --- step 0: self block, position-masked (the two diagonals + qb x ka) --
+    k_pos0 = pos.reshape(-1)
+
+    def self_chunk(_, xs):
+        qc, pc, oc, mc, lc = xs
+        valid = pc[:, None] >= k_pos0[None, :]
+        return _, upd(qc, oc, mc, lc, k, v, valid)
+
+    _, (o, m, l) = jax.lax.scan(self_chunk, 0, (q_chunks, pos, o0, m0, l0))
+    kc0 = jax.lax.ppermute(k, axis_name, perm)
+    vc0 = jax.lax.ppermute(v, axis_name, perm)
+
+    # --- steps 1..n-1: half-block updates, branch by wraparound ------------
+    def body(carry, j):
+        o, m, l, kc, vc = carry
+        src = (idx - j) % n
+
+        def no_wrap(o, m, l):
+            # all local queries x the incoming EARLY kv half, fully visible
+            ka, va = kc[:, :, :c], vc[:, :, :c]
+
+            def per_chunk(_, xs):
+                qc, oc, mc, lc = xs
+                return _, upd(qc, oc, mc, lc, ka, va)
+
+            _, (o, m, l) = jax.lax.scan(per_chunk, 0, (q_chunks, o, m, l))
+            return o, m, l
+
+        def wrap(o, m, l):
+            # the local LATE q half x the WHOLE incoming block, fully visible
+            def per_chunk(_, xs):
+                qc, oc, mc, lc = xs
+                return _, upd(qc, oc, mc, lc, kc, vc)
+
+            _, late = jax.lax.scan(
+                per_chunk, 0, (q_chunks[nqh:], o[nqh:], m[nqh:], l[nqh:])
+            )
+            return (
+                jnp.concatenate([o[:nqh], late[0]]),
+                jnp.concatenate([m[:nqh], late[1]]),
+                jnp.concatenate([l[:nqh], late[2]]),
+            )
+
+        o, m, l = jax.lax.cond(src < idx, no_wrap, wrap, o, m, l)
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        return (o, m, l, kc, vc), None
+
+    if n > 1:
+        (o, m, l, _, _), _ = jax.lax.scan(
+            body, (o, m, l, kc0, vc0), jnp.arange(1, n, dtype=jnp.int32)
+        )
+    o = o / jnp.maximum(l, 1e-30)[..., None]
+    return o.transpose(1, 2, 0, 3, 4).reshape(B, H, Sq, D).astype(q.dtype)
+
+
 def _batch_axes(mesh: Mesh, batch: int) -> Tuple[str, ...]:
     """Greedy data/fsdp batch axes that divide ``batch`` (mirrors
     ``constrain_batch_dim``'s divisibility no-op for tiny test batches)."""
@@ -171,6 +322,7 @@ def ring_attention(
     scale: Optional[float] = None,
     sp_axis: str = SEQ_AXIS,
     block_q: int = 512,
+    zigzag: bool = False,
 ) -> Array:
     """Sequence-parallel attention over ``mesh``'s ``sp`` axis.
 
@@ -179,10 +331,18 @@ def ring_attention(
     with the same sharding. Falls back to a single-device ring (= plain
     attention semantics) when the axis is absent or 1.
 
+    ``zigzag=True`` (causal only, S % 2n == 0): inputs are ALREADY in the
+    ``zigzag_perm`` token order (the caller permutes once for the whole layer
+    stack — permuting here per call would pay an all-to-all per layer) and
+    the output returns in that same order. Halves per-step ring compute (see
+    ``_ring_local_zigzag``).
+
     Right-padding contract: like the decoder's no-cache path, no kv mask is
     applied — causal masking + right padding keep valid queries off pad keys
     (``transformer.py.__call__`` docstring). Pad rows compute garbage nothing
-    reads.
+    reads. This holds under zigzag too: the ring masks by ORIGINAL physical
+    indices (which travel with the tokens through the permutation), so pad
+    keys keep their late indices and stay invisible to every valid query.
     """
     n = mesh.shape.get(sp_axis, 1)
     scale = float(q.shape[-1] ** -0.5) if scale is None else scale
@@ -205,9 +365,18 @@ def ring_attention(
     hspec = TENSOR_AXIS if (tp > 1 and H % tp == 0 and Hk % tp == 0) else None
     spec = P(bspec_p if bspec else None, hspec, sp_axis, None)
 
-    local = functools.partial(
-        _ring_local, n=n, axis_name=sp_axis, causal=causal, scale=scale, block_q=block_q
-    )
+    if zigzag:
+        if not causal:
+            raise ValueError("zigzag layout only applies to causal ring attention")
+        if S % (2 * n) != 0:
+            raise ValueError(f"sequence length {S} not divisible by 2*sp={2 * n} (zigzag)")
+        local = functools.partial(
+            _ring_local_zigzag, n=n, axis_name=sp_axis, scale=scale, block_q=block_q
+        )
+    else:
+        local = functools.partial(
+            _ring_local, n=n, axis_name=sp_axis, causal=causal, scale=scale, block_q=block_q
+        )
     return jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
     )(q, k, v)

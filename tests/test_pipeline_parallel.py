@@ -248,6 +248,26 @@ def test_decoder_pp_serving_cache_unaffected(pp4_mesh):
     np.testing.assert_allclose(np.asarray(out_pp), np.asarray(out), atol=1e-6, rtol=1e-6)
 
 
+def test_decoder_pp_composes_with_tensor_parallel():
+    """tp=2 x pp=2 on one mesh: Megatron head/ffn splits stay GSPMD-auto
+    inside each pipeline stage."""
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    mesh = build_mesh(MeshConfig(data=1, fsdp=2, tensor=2, seq=1, pipe=2))
+    dec_pp, dec = _tiny_decoder(True)
+    params = dec.init(jax.random.PRNGKey(11))
+    ids = jnp.asarray(np.random.RandomState(11).randint(2, 64, (4, 12)), jnp.int32)
+
+    ref, _ = dec(params, input_ids=ids)
+
+    def fwd(p, i):
+        with activation_mesh(mesh):
+            return dec_pp(p, input_ids=i)
+
+    out, _ = jax.jit(fwd)(params, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
 def test_decoder_pp_and_sp_both_active_raises():
     """pp>1 and sp>1 on one mesh with both flags set is a config error, not a
     silent wrong answer (the two manual shard_maps cannot nest)."""

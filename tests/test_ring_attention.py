@@ -112,6 +112,74 @@ def test_ring_q_block_divisor():
     assert _ring_q_block(30, 8) == 6
 
 
+def test_zigzag_perm_roundtrip():
+    from merv_tpu.ops.ring_attention import zigzag_perm
+
+    perm = zigzag_perm(16, 4)  # 8 chunks of 2; device d owns chunks d, 7-d
+    assert perm.tolist() == [0, 1, 14, 15, 2, 3, 12, 13, 4, 5, 10, 11, 6, 7, 8, 9]
+    assert sorted(perm.tolist()) == list(range(16))
+
+
+@pytest.mark.parametrize("block_q", [512, 4])
+def test_zigzag_ring_matches_reference(sp_mesh, block_q):
+    """The load-balanced causal ring (zigzag layout) is the same math as the
+    reference — forward and gradients — in both the single-chunk and the
+    streamed-q configurations."""
+    from merv_tpu.ops.ring_attention import zigzag_perm
+
+    q, k, v = _qkv(jax.random.PRNGKey(7), 2, 4, 2, 64, 8)
+    perm = zigzag_perm(64, 4)
+    inv = np.argsort(perm)
+    ref = attention_reference(q, k, v, causal=True)
+
+    def zig(q, k, v):
+        o = ring_attention(
+            q[:, :, perm], k[:, :, perm], v[:, :, perm], sp_mesh,
+            causal=True, zigzag=True, block_q=block_q,
+        )
+        return o[:, :, inv]
+
+    out = jax.jit(zig)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6)
+
+    g_z = jax.jit(jax.grad(lambda *a: jnp.sum(zig(*a) ** 2), argnums=(0, 1, 2)))(q, k, v)
+    g_r = jax.grad(
+        lambda *a: jnp.sum(attention_reference(*a, causal=True) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g_z, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_zigzag_rejects_bad_shapes(sp_mesh):
+    q, k, v = _qkv(jax.random.PRNGKey(8), 1, 2, 2, 36, 8)  # 36 % 8 != 0
+    with pytest.raises(ValueError, match="zigzag"):
+        ring_attention(q, k, v, sp_mesh, causal=True, zigzag=True)
+    with pytest.raises(ValueError, match="causal"):
+        ring_attention(q[:, :, :32], k[:, :, :32], v[:, :, :32], sp_mesh, zigzag=True)
+
+
+def test_decoder_zigzag_right_padding_matches_plain(sp_mesh):
+    """Zigzag + a right-padded batch: the ring masks by original physical
+    indices (they travel with the tokens), so pad keys stay invisible and
+    valid rows match the plain decoder exactly."""
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    dec_sp, dec = _tiny_decoder(True)
+    assert dec_sp.cfg.sp_zigzag  # default on
+    params = dec.init(jax.random.PRNGKey(9))
+    ids = jnp.asarray(np.random.RandomState(9).randint(2, 64, (2, 16)), jnp.int32)
+    mask = jnp.asarray([[1] * 16, [1] * 11 + [0] * 5], jnp.int32)  # row 1 padded
+
+    ref, _ = dec(params, input_ids=ids, attention_mask=mask)
+    with activation_mesh(sp_mesh):
+        out, _ = jax.jit(lambda p, i, m: dec_sp(p, input_ids=i, attention_mask=m))(params, ids, mask)
+    # compare only valid rows (pad rows compute garbage nothing reads)
+    valid = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid], atol=1e-5, rtol=1e-5
+    )
+
+
 def test_ring_falls_back_off_mesh():
     """sp=1 mesh routes to the plain attention dispatcher."""
     mesh = build_mesh(MeshConfig(data=2, fsdp=4, tensor=1))
@@ -229,6 +297,26 @@ def test_decoder_sp_serving_cache_unaffected(sp_mesh):
         out_sp, _ = dec_sp(params, input_ids=ids, kv_cache=cache)
     out, _ = dec(params, input_ids=ids, kv_cache=cache)
     np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out), atol=1e-6, rtol=1e-6)
+
+
+def test_decoder_sp_composes_with_tensor_parallel():
+    """tp=2 x sp=2 on one mesh: the ring shards heads over 'tensor' and the
+    sequence over 'sp' simultaneously (GQA head counts divide tp)."""
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    mesh = build_mesh(MeshConfig(data=1, fsdp=2, tensor=2, seq=2))
+    dec_sp, dec = _tiny_decoder(True)
+    params = dec.init(jax.random.PRNGKey(10))
+    ids = jnp.asarray(np.random.RandomState(10).randint(2, 64, (2, 16)), jnp.int32)
+
+    ref, _ = dec(params, input_ids=ids)
+
+    def fwd(p, i):
+        with activation_mesh(mesh):
+            return dec_sp(p, input_ids=i)
+
+    out, _ = jax.jit(fwd)(params, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
 def test_merv_full_model_sp_loss_and_grads(sp_mesh):
