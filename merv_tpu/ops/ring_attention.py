@@ -377,6 +377,28 @@ def ring_attention(
         local = functools.partial(
             _ring_local, n=n, axis_name=sp_axis, causal=causal, scale=scale, block_q=block_q
         )
+
+    # When q/k/v are REPLICATED over some >1 mesh axis (e.g. a batch that
+    # doesn't divide data*fsdp), the backward of that replicated input is a
+    # psum of cotangents over that axis — which XLA's CPU SPMD partitioner
+    # CHECK-fails on in bf16 ("Invalid binary instruction opcode copy", same
+    # bug parallel/pipeline.py documents). Cross the boundary in fp32 and
+    # downcast inside only in that (degenerate, tiny-test) case; the common
+    # fully-sharded case keeps the bf16 boundary.
+    covered = set(bspec) | ({TENSOR_AXIS} if hspec else set()) | {sp_axis}
+    leftover = [a for a, s in mesh.shape.items() if s > 1 and a not in covered]
+    upcast = bool(leftover) and q.dtype == jnp.bfloat16
+    if upcast:
+        inner = local
+        compute_dtype = q.dtype
+
+        def local(qq, kk, vv):  # noqa: F811
+            return inner(
+                qq.astype(compute_dtype), kk.astype(compute_dtype), vv.astype(compute_dtype)
+            )
+
+        q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+
     return jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
     )(q, k, v)

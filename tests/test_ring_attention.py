@@ -299,6 +299,29 @@ def test_decoder_sp_serving_cache_unaffected(sp_mesh):
     np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out), atol=1e-6, rtol=1e-6)
 
 
+def test_ring_bf16_replicated_batch_grads():
+    """bf16 grads with a batch that does NOT divide data*fsdp (inputs
+    replicated over those axes): the fp32 shard_map boundary must kick in —
+    the bf16 form CHECK-fails XLA's CPU SPMD partitioner (the psum-of-
+    cotangents bug parallel/pipeline.py documents)."""
+    mesh = build_mesh(MeshConfig(data=2, fsdp=2, tensor=1, seq=2))
+    q, k, v = _qkv(jax.random.PRNGKey(11), 1, 2, 2, 16, 8, jnp.bfloat16)
+
+    def loss(q, k, v):
+        out = ring_attention(q, k, v, mesh, causal=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    ref = jax.grad(
+        lambda *a: jnp.sum(attention_reference(*a, causal=True).astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-2, rtol=5e-2
+        )
+
+
 def test_decoder_sp_composes_with_tensor_parallel():
     """tp=2 x sp=2 on one mesh: the ring shards heads over 'tensor' and the
     sequence over 'sp' simultaneously (GQA head counts divide tp)."""
