@@ -210,6 +210,19 @@ class LlamaDecoder:
             )
         return mesh
 
+    def _sp_serve_mesh(self, cache_len: int):
+        """The active mesh when serving should attend an sp-SHARDED KV cache
+        (else None): cfg.sequence_parallel on, a traced activation mesh with
+        sp>1, and a cache buffer that tiles the axis."""
+        if not self.cfg.sequence_parallel:
+            return None
+        mesh = get_activation_mesh()
+        from merv_tpu.parallel.mesh import SEQ_AXIS
+
+        if mesh is None or mesh.shape.get(SEQ_AXIS, 1) <= 1 or cache_len % mesh.shape[SEQ_AXIS] != 0:
+            return None
+        return mesh
+
     def _constrain_h(self, h: Array) -> Array:
         """Activation constraint at layer boundaries: batch over data/fsdp,
         plus the sequence dim over 'sp' when sequence parallelism is live."""
@@ -361,12 +374,23 @@ class LlamaDecoder:
             new_cache = (ck_all, cv_all, cks_all, cvs_all)
 
         sp_mesh = self._sp_mesh(T) if (cache_kv is None and kv_mask is None) else None
+        sp_serve_mesh = self._sp_serve_mesh(k.shape[2]) if cache_kv is not None else None
         if sp_mesh is not None:
             from merv_tpu.ops.ring_attention import ring_attention
 
             out = ring_attention(
                 q, k.astype(q.dtype), v.astype(q.dtype), sp_mesh,
                 causal=causal, zigzag=sp_zigzag,
+            )
+        elif sp_serve_mesh is not None:
+            # serving with an sp-SHARDED KV cache (long-video contexts): the
+            # cache never moves — queries replicate, each chip attends its
+            # cache shard, partials merge via the cross-chip online-softmax
+            from merv_tpu.ops.ring_attention import sharded_cache_attention
+
+            out = sharded_cache_attention(
+                q, k.astype(q.dtype), v.astype(q.dtype), kv_mask, sp_serve_mesh,
+                q_offset=cache_len,
             )
         else:
             out = attention(
@@ -517,7 +541,16 @@ class LlamaDecoder:
             # restructure: unroll=2 still collapses 10.84 -> 23.6 ms/token
             # (two indexed cache writes per unrolled body defeat XLA's
             # in-place buffer aliasing, materializing cache copies again).
-            carry0 = (h, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale,
+            # under sp serving, pin the cache buffers' sequence dim to the sp
+            # axis at scan entry (GSPMD propagates through the indexed writes)
+            from merv_tpu.ops.ring_attention import constrain_cache_seq
+
+            spm = self._sp_serve_mesh(max_len)
+            carry0 = (h,
+                      constrain_cache_seq(kv_cache.k, spm),
+                      constrain_cache_seq(kv_cache.v, spm),
+                      constrain_cache_seq(kv_cache.k_scale, spm),
+                      constrain_cache_seq(kv_cache.v_scale, spm),
                       jnp.zeros((), jnp.int32))
             (h, ck, cv, cks, cvs, _), _ = jax.lax.scan(layer_fn, carry0, params["layers"])
             new_cache = KVCache(ck, cv, kv_cache.length + T, cks, cvs)

@@ -415,8 +415,14 @@ class MERV(VidLM):
         min_length: int = 1,
         rng: Optional[Array] = None,
         kv_cache_dtype: Optional[str] = None,
+        mesh: Optional[Any] = None,
     ) -> Array:
         """Batched multimodal generation -> new token ids [B, max_new_tokens].
+
+        ``mesh``: optional device mesh scoped over the serve trace
+        (``activation_mesh``) — required for mesh-aware serving modes like the
+        sp-sharded KV cache (``sharded_cache_attention``); plain TP serving
+        needs no scope (GSPMD propagates from the sharded params).
 
         The WHOLE pipeline (towers -> projectors -> fusion -> splice ->
         prefill -> decode scan) runs as one jitted program per
@@ -433,21 +439,24 @@ class MERV(VidLM):
         )
         flags = (is_image is not None, is_multimodal is not None)
         cache = self.__dict__.setdefault("_serve_jit_cache", {})
-        fn = cache.get(("generate", cfg, flags))
+        fn = cache.get(("generate", cfg, flags, mesh))
         if fn is None:
             def run(params, input_ids, attention_mask, videos, is_image, is_multimodal, rng):
-                feats = self.encode_videos(params, videos, is_image)
-                visual, _ = self.project_and_fuse(params, feats)
-                embeds, mask, _ = self.embed_multimodal(
-                    params, input_ids, attention_mask, visual, None, is_multimodal
-                )
-                return _generate(
-                    self.llm_backbone.decoder, params["llm_backbone"],
-                    inputs_embeds=embeds, attention_mask=mask.astype(jnp.int32), config=cfg, rng=rng,
-                )
+                from merv_tpu.parallel.sharding import activation_mesh
+
+                with activation_mesh(mesh):
+                    feats = self.encode_videos(params, videos, is_image)
+                    visual, _ = self.project_and_fuse(params, feats)
+                    embeds, mask, _ = self.embed_multimodal(
+                        params, input_ids, attention_mask, visual, None, is_multimodal
+                    )
+                    return _generate(
+                        self.llm_backbone.decoder, params["llm_backbone"],
+                        inputs_embeds=embeds, attention_mask=mask.astype(jnp.int32), config=cfg, rng=rng,
+                    )
 
             fn = jax.jit(run)
-            cache[("generate", cfg, flags)] = fn
+            cache[("generate", cfg, flags, mesh)] = fn
         return fn(
             params, input_ids, attention_mask, list(video_values), is_image, is_multimodal,
             jax.random.PRNGKey(0) if rng is None else rng,

@@ -404,6 +404,104 @@ def ring_attention(
     )(q, k, v)
 
 
+def sharded_cache_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    kv_mask: Optional[Array],
+    mesh: Mesh,
+    *,
+    q_offset: Array,
+    scale: Optional[float] = None,
+    sp_axis: str = SEQ_AXIS,
+) -> Array:
+    """Serving attention against a KV cache SHARDED over the ``sp`` axis.
+
+    Long-video serving capability (beyond the reference, whose contexts cap
+    at 2048): a KV cache too large for one chip shards its SEQUENCE dim over
+    ``sp``. No ring is needed at serve time — the cache never moves: queries
+    are replicated, every chip computes block attention of all queries
+    against its local cache shard, and the partial (o, m, l) statistics merge
+    with one ``pmax`` + two ``psum``s (the online-softmax merge across
+    chips). Per-chip compute AND memory are L/n of the full cache.
+
+    q [B, H, T, D] (replicated over sp); k/v [B, Hk, L, D] sharded on dim 2;
+    kv_mask [B, L] (sharded on dim 1) marks valid cache positions; q_offset
+    (traced scalar) is query row 0's absolute cache position — causal
+    masking is ``k_pos <= q_offset + i`` exactly like the XLA cache path
+    (``attention(..., q_offset=cache_len)``).
+    """
+    B, H, T, D = q.shape
+    Hk, L = k.shape[1], k.shape[2]
+    n = mesh.shape.get(sp_axis, 1)
+    scale = float(D ** -0.5) if scale is None else scale
+    if n <= 1:
+        from merv_tpu.ops.attention import attention
+
+        return attention(q, k, v, causal=True, kv_mask=kv_mask, scale=scale, q_offset=q_offset)
+    if L % n != 0:
+        raise ValueError(f"cache length {L} not divisible by sp={n}")
+    if H % Hk != 0:
+        raise ValueError(f"num_heads {H} not a multiple of kv heads {Hk}")
+    Lloc = L // n
+
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, L), jnp.bool_)
+
+    bspec = _batch_axes(mesh, B)
+    bspec_p = None if not bspec else (bspec[0] if len(bspec) == 1 else bspec)
+    tp = mesh.shape.get(TENSOR_AXIS, 1)
+    hspec = TENSOR_AXIS if (tp > 1 and H % tp == 0 and Hk % tp == 0) else None
+    qspec = P(bspec_p, hspec, None, None)
+    kvspec = P(bspec_p, hspec, sp_axis, None)
+    mspec = P(bspec_p, sp_axis)
+
+    def local(q, kc, vc, mask_c, qoff):
+        if kc.shape[1] != q.shape[1]:
+            kc = jnp.repeat(kc, q.shape[1] // kc.shape[1], axis=1)
+            vc = jnp.repeat(vc, q.shape[1] // vc.shape[1], axis=1)
+        idx = jax.lax.axis_index(sp_axis)
+        k_pos = idx * Lloc + jnp.arange(Lloc, dtype=jnp.int32)
+        q_pos = qoff[0] + jnp.arange(T, dtype=jnp.int32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32) * scale
+        valid = mask_c[:, None, None, :] & (k_pos[None, :] <= q_pos[:, None])[None, None]
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[..., None]) * valid.astype(jnp.float32)
+        l = jnp.sum(p, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vc.dtype), vc, preferred_element_type=jnp.float32)
+        # cross-chip online-softmax merge
+        m_g = jax.lax.pmax(m, sp_axis)
+        alpha = jnp.exp(m - m_g)
+        l_g = jax.lax.psum(l * alpha, sp_axis)
+        o_g = jax.lax.psum(o * alpha[..., None], sp_axis)
+        return (o_g / jnp.maximum(l_g, 1e-30)[..., None]).astype(q.dtype)
+
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(qspec, kvspec, kvspec, mspec, P()),
+        out_specs=qspec,
+        check_vma=False,
+    )(q, k, v, kv_mask, qoff)
+
+
+def constrain_cache_seq(buf: Optional[Array], mesh: Optional[Mesh], *, seq_dim: int = 3) -> Array:
+    """Pin a stacked cache buffer's sequence dim ([L, B, Hkv, max_len, D] by
+    default) to the ``sp`` axis; every other dim replicated (the layer dim
+    must NOT pick up batch axes — the layer scan indexes it sequentially).
+    No-op when the mesh has no sp axis or the dim doesn't divide."""
+    if buf is None or mesh is None or mesh.shape.get(SEQ_AXIS, 1) <= 1:
+        return buf
+    if buf.shape[seq_dim] % mesh.shape[SEQ_AXIS] != 0:
+        return buf
+    spec = [None] * buf.ndim
+    spec[seq_dim] = SEQ_AXIS
+    return jax.lax.with_sharding_constraint(
+        buf, jax.sharding.NamedSharding(mesh, P(*spec))
+    )
+
+
 def constrain_seq_dim(x: Array, mesh: Optional[Mesh], *, seq_dim: int = 1) -> Array:
     """Pin activation ``x``'s sequence dim to the ``sp`` axis (batch dim 0 to
     data/fsdp as usual). No-op when the mesh has no sp axis or shapes don't

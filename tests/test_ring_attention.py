@@ -283,20 +283,23 @@ def test_decoder_sp_indivisible_seq_falls_back(sp_mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
-def test_decoder_sp_serving_cache_unaffected(sp_mesh):
-    """The cache-carrying (serving) path ignores sequence_parallel: decode
-    steps are latency-bound single positions, not ring material."""
+def test_decoder_sp_serving_cache_numerics_unchanged(sp_mesh):
+    """The cache-carrying (serving) path under an sp mesh routes through
+    sharded_cache_attention (the cache shards its sequence dim; no ring) —
+    numerics must be identical to the single-device cache path. A cache
+    length that doesn't tile the axis falls back to plain attention."""
     from merv_tpu.models.backbones.llm.transformer import KVCache
     from merv_tpu.parallel.sharding import activation_mesh
 
     dec_sp, dec = _tiny_decoder(True)
     params = dec.init(jax.random.PRNGKey(3))
     ids = jnp.asarray(np.random.RandomState(3).randint(2, 64, (1, 8)), jnp.int32)
-    cache = KVCache.create(dec_sp.cfg, 1, 16, dtype=jnp.float32)
-    with activation_mesh(sp_mesh):
-        out_sp, _ = dec_sp(params, input_ids=ids, kv_cache=cache)
-    out, _ = dec(params, input_ids=ids, kv_cache=cache)
-    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out), atol=1e-6, rtol=1e-6)
+    for max_len in (16, 18):  # 16 tiles sp=4 (sharded path); 18 falls back
+        cache = KVCache.create(dec_sp.cfg, 1, max_len, dtype=jnp.float32)
+        with activation_mesh(sp_mesh):
+            out_sp, _ = jax.jit(lambda p, i, c: dec_sp(p, input_ids=i, kv_cache=c))(params, ids, cache)
+        out, _ = dec(params, input_ids=ids, kv_cache=cache)
+        np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out), atol=1e-5, rtol=1e-5)
 
 
 def test_ring_bf16_replicated_batch_grads():
@@ -339,6 +342,62 @@ def test_decoder_sp_composes_with_tensor_parallel():
             return dec_sp(p, input_ids=i)
 
     out, _ = jax.jit(fwd)(params, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_cache_attention_matches_reference(sp_mesh):
+    """Serving attention against an sp-sharded KV cache: cross-chip
+    online-softmax merge equals the single-device cache attention (causal via
+    q_offset + validity mask), for both a prefill-shaped and a decode-shaped
+    query block."""
+    from merv_tpu.ops.ring_attention import sharded_cache_attention
+
+    rs = np.random.RandomState(12)
+    B, H, Hk, L, D = 2, 4, 2, 32, 8
+    k = jnp.asarray(rs.randn(B, Hk, L, D), jnp.float32)
+    v = jnp.asarray(rs.randn(B, Hk, L, D), jnp.float32)
+    kv_mask = jnp.asarray(np.arange(L)[None, :] < np.array([[20], [14]]), jnp.bool_)
+
+    for T, off in [(8, 12), (1, 19)]:
+        q = jnp.asarray(rs.randn(B, H, T, D), jnp.float32)
+        ref = attention_reference(q, k, v, causal=True, kv_mask=kv_mask, q_offset=off)
+        out = jax.jit(
+            lambda q, k, v, m: sharded_cache_attention(
+                q, k, v, m, sp_mesh, q_offset=jnp.int32(off)
+            )
+        )(q, k, v, kv_mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6)
+
+
+def test_decoder_sp_sharded_cache_serving(sp_mesh):
+    """Full decoder serving path with an sp-sharded KV cache: prefill + two
+    decode steps produce the same logits as the single-device cache path —
+    the long-video serving capability (cache memory L/n per chip)."""
+    from merv_tpu.models.backbones.llm.transformer import KVCache
+    from merv_tpu.parallel.sharding import activation_mesh
+
+    dec_sp, dec = _tiny_decoder(True)
+    params = dec.init(jax.random.PRNGKey(13))
+    rs = np.random.RandomState(13)
+    ids = jnp.asarray(rs.randint(2, 64, (1, 8)), jnp.int32)
+    max_len = 16  # divisible by sp=4
+
+    def serve(d, use_mesh):
+        cache = KVCache.create(d.cfg, 1, max_len, dtype=jnp.float32)
+        ctx = activation_mesh(sp_mesh) if use_mesh else activation_mesh(None)
+        with ctx:
+            step1 = jax.jit(lambda p, i, c: d(p, input_ids=i, kv_cache=c))
+            logits, cache = step1(params, ids, cache)
+            outs = [logits[:, -1:]]
+            step = jax.jit(lambda p, i, c: d(p, input_ids=i, kv_cache=c))
+            for _ in range(2):
+                nxt = jnp.argmax(outs[-1], axis=-1).astype(jnp.int32)
+                logits, cache = step(params, nxt, cache)
+                outs.append(logits[:, -1:])
+        return jnp.concatenate(outs, axis=1)
+
+    ref = serve(dec, False)
+    out = serve(dec_sp, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
