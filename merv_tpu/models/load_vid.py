@@ -294,6 +294,36 @@ def load_vid(
             donate_argnums=0,
         )(params["video_backbones"][str(i)])
 
+    if mesh is not None:
+        # place the tree on the serving mesh: a jit whose trace carries mesh
+        # sharding constraints (sp-sharded cache, TP) REJECTS args committed
+        # to a single device ("incompatible devices"). Weights REPLICATE over
+        # the mesh (serving wants no per-layer weight all-gathers; the memory
+        # that matters at long context is the cache, which shards via
+        # constrain_cache_seq) — except under tensor>1, where the LLM subtree
+        # takes the Megatron column/row splits.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        if _tensor_axis_active(mesh):
+            from merv_tpu.parallel import llm_tensor_parallel_rules
+            from merv_tpu.parallel.sharding import path_str
+
+            rules = llm_tensor_parallel_rules()
+
+            def _spec(path, leaf):
+                s = rules.spec_for(path_str(path), leaf)
+                return NamedSharding(mesh, s if s is not None else P())
+
+            params["llm_backbone"] = jax.device_put(
+                params["llm_backbone"],
+                jax.tree_util.tree_map_with_path(_spec, params["llm_backbone"]),
+            )
+        else:
+            params["llm_backbone"] = jax.device_put(params["llm_backbone"], repl)
+        for k in ("projectors", "feature_fusion", "video_backbones"):
+            params[k] = jax.device_put(params[k], repl)
+
     if get_model_cfg:
         return vidlm, params, model_cfg
     return vidlm, params

@@ -478,6 +478,7 @@ class MERV(VidLM):
         rng: Optional[Array] = None,
         pad_to_batch: Optional[int] = None,
         kv_cache_dtype: Optional[str] = None,
+        mesh: Optional[Any] = None,
     ) -> List[str]:
         """Batched multi-video generation — ONE prefill + ONE decode program for
         the whole batch (the reference generates bs=1; batching is the main
@@ -498,7 +499,7 @@ class MERV(VidLM):
             is_multimodal=jnp.asarray(is_mm),
             max_new_tokens=max_new_tokens, do_sample=do_sample,
             temperature=temperature, top_p=top_p, top_k=top_k, min_length=min_length, rng=rng,
-            kv_cache_dtype=kv_cache_dtype,
+            kv_cache_dtype=kv_cache_dtype, mesh=mesh,
         )
         stop = self.llm_backbone.stop_token_id
         tok = self.llm_backbone.tokenizer
@@ -592,6 +593,7 @@ class MERV(VidLM):
         num_frames: Optional[List[int]] = None,
         clip_args: Optional[Sequence[Dict[str, Any]]] = None,
         pad_to_batch: Optional[int] = None,
+        mesh: Optional[Any] = None,
     ) -> List[str]:
         """Likelihood MCQ readout: one batched prefill, next-token logits at the
         last prompt position restricted to single-token candidates.
@@ -612,23 +614,26 @@ class MERV(VidLM):
         # One jitted program per shape set (see generate_ids on why eager
         # serving dispatch is pathological on remote-compile platforms).
         cache = self.__dict__.setdefault("_serve_jit_cache", {})
-        fn = cache.get("score")
+        fn = cache.get(("score", mesh))
         if fn is None:
             def run(params, input_ids, attention_mask, videos, is_mm):
-                feats = self.encode_videos(params, videos)
-                visual, _ = self.project_and_fuse(params, feats)
-                embeds, mask, _ = self.embed_multimodal(
-                    params, input_ids, attention_mask, visual, None, is_mm
-                )
-                last = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
-                logits, _ = self.llm_backbone.decoder(
-                    params["llm_backbone"], inputs_embeds=embeds, attention_mask=mask,
-                    logits_indices=last.astype(jnp.int32),
-                )
-                return logits[:, 0].astype(jnp.float32)
+                from merv_tpu.parallel.sharding import activation_mesh
+
+                with activation_mesh(mesh):
+                    feats = self.encode_videos(params, videos)
+                    visual, _ = self.project_and_fuse(params, feats)
+                    embeds, mask, _ = self.embed_multimodal(
+                        params, input_ids, attention_mask, visual, None, is_mm
+                    )
+                    last = jnp.sum(mask.astype(jnp.int32), axis=1) - 1
+                    logits, _ = self.llm_backbone.decoder(
+                        params["llm_backbone"], inputs_embeds=embeds, attention_mask=mask,
+                        logits_indices=last.astype(jnp.int32),
+                    )
+                    return logits[:, 0].astype(jnp.float32)
 
             fn = jax.jit(run)
-            cache["score"] = fn
+            cache[("score", mesh)] = fn
         rows = np.asarray(fn(params, input_ids, attention_mask, vids, is_mm))  # [B, V] next-token logits
         picks = []
         V = rows.shape[1]
@@ -656,6 +661,7 @@ class MERV(VidLM):
         end_frame: Optional[int] = None,
         rng: Optional[Array] = None,
         kv_cache_dtype: Optional[str] = None,
+        mesh: Optional[Any] = None,
     ) -> str:
         """Single-example convenience API (reference merv.py:779-830).
 
@@ -677,7 +683,7 @@ class MERV(VidLM):
         tokens = self.generate_ids(
             params, input_ids, attention_mask, vids, is_multimodal=is_multimodal,
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,
-            top_k=top_k, min_length=min_length, rng=rng, kv_cache_dtype=kv_cache_dtype,
+            top_k=top_k, min_length=min_length, rng=rng, kv_cache_dtype=kv_cache_dtype, mesh=mesh,
         )
         out = np.asarray(tokens[0]).tolist()
         stop = self.llm_backbone.stop_token_id

@@ -64,6 +64,7 @@ class EvalConfig:
     allow_random_weights: bool = False              # random-init fallback (speed tests ONLY)
     quantize_llm: bool = False                      # weight-only int8 LLM serving (fits 7B on one v5e)
     int8_kv: bool = False                           # int8 KV cache (decode HBM bytes ~2x less; see BASELINE.md)
+    mesh_seq: int = 1                               # sp-sharded KV cache over N chips (long-video serving)
     filename_question: str = "test_q"
     filename_answer: str = "test_a"
     eval_data_root: Path = Path("eval_data")
@@ -123,10 +124,19 @@ def evaluate(cfg: EvalConfig) -> None:
     # accuracies that look like results are worse than a crash) ---
     local_run = Path("runs") / str(cfg.model_path)
     src = str(local_run) if local_run.exists() else str(cfg.model_path)
+    serve_mesh = None
+    if cfg.mesh_seq > 1:
+        # sp-sharded KV-cache serving: cache memory + attention FLOPs are L/n
+        # per chip (merv_tpu/ops/ring_attention.py sharded_cache_attention)
+        from merv_tpu.parallel import MeshConfig, build_mesh
+
+        serve_mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=1, seq=cfg.mesh_seq))
     vidlm, params, model_cfg = load_vid(
         src, get_model_cfg=True, allow_random_weights=cfg.allow_random_weights,
-        quantize_llm=cfg.quantize_llm,
+        quantize_llm=cfg.quantize_llm, mesh=serve_mesh,
     )
+    if serve_mesh is not None:
+        vidlm.llm_backbone.sequence_parallel = True  # decoder re-reads at trace
 
     tag = f"{cfg.eval_dataset}_{cfg.strategy}_pred_{cfg.num_chunks}"
     temp_output_path = result_dir / f"{tag}_{cfg.chunk_idx}.jsonl"
@@ -182,12 +192,14 @@ def evaluate(cfg: EvalConfig) -> None:
             return vidlm.score_options(
                 params, [video], [prompt_text], [letters],
                 num_frames=model_cfg.num_frames, clip_args=[_clip(question)],
+                mesh=serve_mesh,
             )[0]
         return vidlm.generate(
             params, video, prompt_text,
             do_sample=cfg.do_sample, temperature=cfg.temperature,
             max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
-            num_frames=model_cfg.num_frames, kv_cache_dtype=("int8" if cfg.int8_kv else None), **_clip(question),
+            num_frames=model_cfg.num_frames, kv_cache_dtype=("int8" if cfg.int8_kv else None),
+            mesh=serve_mesh, **_clip(question),
         )
 
     groups = [questions[s : s + cfg.batch_size] for s in range(0, len(questions), cfg.batch_size)]
@@ -218,6 +230,7 @@ def evaluate(cfg: EvalConfig) -> None:
                     sub_preds = vidlm.score_options(
                         params, sub, [prepped[i][0] for i in good], [prepped[i][4] for i in good],
                         num_frames=model_cfg.num_frames, pad_to_batch=cfg.batch_size,
+                        mesh=serve_mesh,
                     )
                     for i, p in zip(good, sub_preds):
                         preds[i] = p
@@ -227,7 +240,7 @@ def evaluate(cfg: EvalConfig) -> None:
                         num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
                         do_sample=cfg.do_sample, temperature=cfg.temperature,
                         min_length=cfg.min_length, pad_to_batch=cfg.batch_size,
-                        kv_cache_dtype=("int8" if cfg.int8_kv else None),
+                        kv_cache_dtype=("int8" if cfg.int8_kv else None), mesh=serve_mesh,
                     )
                     for i, p in zip(good, sub_preds):
                         preds[i] = p

@@ -59,6 +59,7 @@ class EvalConfig:
     allow_random_weights: bool = False              # random-init fallback (speed tests ONLY)
     quantize_llm: bool = False                      # weight-only int8 LLM serving (fits 7B on one v5e)
     int8_kv: bool = False                           # int8 KV cache (decode HBM bytes ~2x less; see BASELINE.md)
+    mesh_seq: int = 1                               # sp-sharded KV cache over N chips (long-video serving)
     # fmt: on
 
 
@@ -79,10 +80,20 @@ def evaluate(cfg: EvalConfig) -> None:
 
     local_run = Path("runs") / str(cfg.model_path)
     src = str(local_run) if local_run.exists() else str(cfg.model_path)
+    serve_mesh = None
+    if cfg.mesh_seq > 1:
+        # sp-sharded KV-cache serving (merv_tpu/ops/ring_attention.py
+        # sharded_cache_attention): cache memory + attention FLOPs are L/n/chip
+        from merv_tpu.parallel import MeshConfig, build_mesh
+
+        serve_mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=1, seq=cfg.mesh_seq))
     vidlm, params, model_cfg = load_vid(
         src, get_model_cfg=True, allow_random_weights=cfg.allow_random_weights,
         quantize_llm=cfg.quantize_llm,
+        mesh=serve_mesh,
     )
+    if serve_mesh is not None:
+        vidlm.llm_backbone.sequence_parallel = True  # decoder re-reads at trace
 
     # FLOPs/params once per model (reference :96-100)
     flops_path = result_dir / "flops.json"
@@ -135,7 +146,8 @@ def evaluate(cfg: EvalConfig) -> None:
             params, video_name, prompt_text,
             do_sample=cfg.do_sample, temperature=cfg.temperature,
             max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
-            num_frames=model_cfg.num_frames, kv_cache_dtype=("int8" if cfg.int8_kv else None), **clip,
+            num_frames=model_cfg.num_frames, kv_cache_dtype=("int8" if cfg.int8_kv else None),
+            mesh=serve_mesh, **clip,
         )
 
     def _clip(question):
@@ -190,7 +202,7 @@ def evaluate(cfg: EvalConfig) -> None:
                             num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
                             do_sample=cfg.do_sample, temperature=cfg.temperature,
                             min_length=cfg.min_length, pad_to_batch=cfg.batch_size,
-                        kv_cache_dtype=("int8" if cfg.int8_kv else None),
+                        kv_cache_dtype=("int8" if cfg.int8_kv else None), mesh=serve_mesh,
                         )
                         for i, p in zip(good, sub_preds):
                             preds[i] = p

@@ -222,6 +222,30 @@ def test_eval_mcq_batched(tmp_path, monkeypatch):
     assert len(rows) == 6 and all(isinstance(r["pred"], str) for r in rows)
 
 
+def test_eval_mcq_batched_sp_sharded_cache(tmp_path, monkeypatch):
+    """--mesh_seq 2: the whole eval serves with an sp-sharded KV cache
+    (sharded_cache_attention) on the virtual mesh — long-video serving
+    capability, driven end-to-end through the CLI."""
+    from scripts.eval_mcq import EvalConfig, evaluate
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    cfg = EvalConfig(
+        model_path=str(run_dir),
+        eval_dataset="dummy_mcq",
+        max_new_tokens=3,
+        batch_size=3,
+        mesh_seq=2,
+        eval_data_root=REPO / "eval_data",
+        eval_result_root=tmp_path / "eval_result",
+        allow_random_weights=True,
+    )
+    evaluate(cfg=cfg)
+    merged = tmp_path / "eval_result" / str(run_dir) / "dummy_mcq_naive_pred_merge.jsonl"
+    rows = [json.loads(line) for line in merged.read_text().splitlines()]
+    assert len(rows) == 6 and all(isinstance(r["pred"], str) for r in rows)
+
+
 def test_eval_mcq_likelihood_strategy(tmp_path, monkeypatch):
     """--strategy likelihood: answers come from letter-token logits at the
     last prompt position (MERV.score_options) — zero decode steps, preds are
