@@ -99,6 +99,27 @@ def test_load_vid_local_run_dir(tmp_path):
     assert isinstance(text, str)
 
 
+def test_load_vid_places_params_on_serve_mesh(tmp_path):
+    """load_vid(mesh=...): weights replicate over the mesh (no per-layer
+    weight all-gathers at serve time); tensor>1 additionally applies the
+    Megatron splits to the LLM subtree."""
+    from merv_tpu.parallel import MeshConfig, build_mesh
+
+    run_dir = _make_run_dir(tmp_path)
+
+    sp_mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=1, seq=2))
+    _, params = load_vid_mod.load_vid(str(run_dir), allow_random_weights=True, mesh=sp_mesh)
+    q = params["feature_fusion"]["Q"]
+    assert len(q.sharding.device_set) == 8  # replicated over the whole mesh
+    assert q.sharding.is_fully_replicated
+
+    tp_mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=2))
+    _, params = load_vid_mod.load_vid(str(run_dir), allow_random_weights=True, mesh=tp_mesh)
+    qk = params["llm_backbone"]["layers"]["attn"]["q_proj"]["kernel"]
+    assert "tensor" in tuple(qk.sharding.spec)  # Megatron column split
+    assert not qk.sharding.is_fully_replicated
+
+
 def test_eval_mcq_end_to_end(tmp_path, monkeypatch):
     from scripts.eval_mcq import EvalConfig, evaluate
 

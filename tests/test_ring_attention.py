@@ -369,10 +369,13 @@ def test_sharded_cache_attention_matches_reference(sp_mesh):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6)
 
 
-def test_decoder_sp_sharded_cache_serving(sp_mesh):
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8])
+def test_decoder_sp_sharded_cache_serving(sp_mesh, cache_dtype):
     """Full decoder serving path with an sp-sharded KV cache: prefill + two
     decode steps produce the same logits as the single-device cache path —
-    the long-video serving capability (cache memory L/n per chip)."""
+    the long-video serving capability (cache memory L/n per chip). The int8
+    variant shards the quantized buffers + scales the same way (dequant is
+    elementwise on the shard)."""
     from merv_tpu.models.backbones.llm.transformer import KVCache
     from merv_tpu.parallel.sharding import activation_mesh
 
@@ -383,7 +386,7 @@ def test_decoder_sp_sharded_cache_serving(sp_mesh):
     max_len = 16  # divisible by sp=4
 
     def serve(d, use_mesh):
-        cache = KVCache.create(d.cfg, 1, max_len, dtype=jnp.float32)
+        cache = KVCache.create(d.cfg, 1, max_len, dtype=cache_dtype)
         ctx = activation_mesh(sp_mesh) if use_mesh else activation_mesh(None)
         with ctx:
             step1 = jax.jit(lambda p, i, c: d(p, input_ids=i, kv_cache=c))
