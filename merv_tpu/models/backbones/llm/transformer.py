@@ -119,7 +119,10 @@ class KVCache(NamedTuple):
 
     k: Array  # [L, B, H_kv, max_len, D]
     v: Array  # [L, B, H_kv, max_len, D]
-    length: Array  # scalar int32: number of valid positions
+    # number of valid positions: scalar int32 (whole batch shares one write
+    # pointer — batch prefill + lockstep decode), or [B] int32 (per-slot
+    # pointers for the continuous-batching engine; single-token steps only)
+    length: Array
     k_scale: Optional[Array] = None  # [L, B, H_kv, max_len, 1] f32 (int8 mode)
     v_scale: Optional[Array] = None
 
@@ -347,13 +350,24 @@ class LlamaDecoder:
         k = _rope(cos_sin, k)
 
         new_cache = None
+        per_slot = cache_len is not None and getattr(cache_len, "ndim", 0) == 1
         if cache_kv is not None:
             # stacked [L, B, Hkv, max_len, D] buffers (+ scales in int8 mode)
             ck_all, cv_all, cks_all, cvs_all = cache_kv
             li = layer_idx
 
-            def put(buf, val):
-                return jax.lax.dynamic_update_slice(buf, val[None], (li, 0, 0, cache_len, 0))
+            if per_slot:
+                # Continuous-batching decode: each slot writes its ONE new
+                # position at its own offset ``cache_len[b]``. A single scatter
+                # touches B*H*D elements of the scan-carried buffer (XLA
+                # aliases it in place, like the dynamic_update_slice below) —
+                # never a whole-slice rewrite, which would reintroduce the
+                # 2.3 ms/token cache copy this layout was built to kill.
+                def put(buf, val):  # val [B, H, 1, D] (or [B, H, 1, 1] scales)
+                    return buf.at[li, jnp.arange(B), :, cache_len, :].set(val[:, :, 0])
+            else:
+                def put(buf, val):
+                    return jax.lax.dynamic_update_slice(buf, val[None], (li, 0, 0, cache_len, 0))
 
             def take(buf):
                 return jax.lax.dynamic_index_in_dim(buf, li, 0, keepdims=False)
@@ -375,6 +389,12 @@ class LlamaDecoder:
 
         sp_mesh = self._sp_mesh(T) if (cache_kv is None and kv_mask is None) else None
         sp_serve_mesh = self._sp_serve_mesh(k.shape[2]) if cache_kv is not None else None
+        if cache_kv is not None and per_slot and sp_serve_mesh is not None:
+            raise NotImplementedError(
+                "per-slot cache lengths (continuous batching) are not supported "
+                "under the sp-sharded KV cache; serve long-context requests "
+                "through generate_ids(mesh=...) instead"
+            )
         if sp_mesh is not None:
             from merv_tpu.ops.ring_attention import ring_attention
 
@@ -393,10 +413,15 @@ class LlamaDecoder:
                 q_offset=cache_len,
             )
         else:
+            # Per-slot decode (T=1) passes q_offset=None: the query is the
+            # last valid position by construction and kv_mask already bounds
+            # each slot at length[b]+1, so the causal offset is redundant —
+            # and a [B]-vector offset would not broadcast in the kernels.
+            qoff = None if (cache_kv is None or per_slot) else cache_len
             out = attention(
                 q, k.astype(q.dtype), v.astype(q.dtype),
                 causal=causal, kv_mask=kv_mask, impl=attn_impl,
-                q_offset=None if cache_kv is None else cache_len,
+                q_offset=qoff,
             )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, c.q_dim)
         h = h + m["o_proj"](lp["attn"]["o_proj"], out)
@@ -452,12 +477,27 @@ class LlamaDecoder:
         if kv_cache is not None:
             start = kv_cache.length
             max_len = kv_cache.k.shape[3]
+            # PER-SLOT lengths (continuous-batching decode): ``length`` may be
+            # a [B] vector — each row's sequence occupies cache positions
+            # [0, length[b]) and the new token writes at length[b] (a scatter
+            # in ``_layer``). Only single-token steps are supported in this
+            # mode: multi-token prefill happens per-request at B=1 (scalar
+            # length) and is spliced into a slot by the serving engine.
+            per_slot = getattr(start, "ndim", 0) == 1
+            if per_slot and T != 1:
+                raise ValueError(
+                    f"per-slot cache lengths support single-token decode only (T={T}); "
+                    "prefill runs per-request with a scalar-length cache"
+                )
+            start_col = start[:, None] if per_slot else start
             if positions is None:
-                positions = start + jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+                positions = jnp.broadcast_to(
+                    start_col + jnp.arange(T, dtype=jnp.int32)[None, :], (B, T)
+                )
             # kv validity over the cache buffer: pos < start+T, AND (per-batch
             # attention_mask for the written region if provided)
             kv_pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-            kv_mask = kv_pos < (start + T)
+            kv_mask = kv_pos < (start_col + T)
             kv_mask = jnp.broadcast_to(kv_mask, (B, max_len))
             if attention_mask is not None:
                 am = attention_mask.astype(bool)

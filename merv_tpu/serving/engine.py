@@ -1,0 +1,384 @@
+"""Continuous-batching serving engine with per-slot KV-cache pointers.
+
+The reference's serving loop (reference ``merv/models/vidlms/merv.py:779-830``
+via HF ``GenerationMixin.generate``) is group-synchronous: a batch pads to its
+longest prompt, decodes until EVERY row finishes, and only then admits the
+next group — short answers idle their slot for as long as the longest answer
+in the group runs. This engine keeps a fixed pool of decode slots live
+instead:
+
+- each slot owns one row of a shared static-shape :class:`KVCache` whose
+  ``length`` is a **[B] vector** (per-slot write pointers — see
+  ``transformer.py::KVCache``); sequences always occupy cache positions
+  ``[0, length[b])`` of their row, so admission never re-lays-out memory;
+- a new request prefills **per-request at B=1** (prompt lengths pad to static
+  buckets, one compiled prefill per bucket) and its small cache splices into
+  a free slot with one ``dynamic_update_slice`` (``_insert_into_slot``);
+- decode runs ``steps_per_sync`` tokens for ALL slots as one jitted
+  ``lax.scan`` program (``_decode_chunk``); the host syncs once per chunk to
+  emit tokens, retire finished slots, and admit queued requests into the
+  freed rows.
+
+Everything under jit has static shapes: the engine compiles exactly one
+decode program plus one (prefill, insert) pair per prompt-length bucket,
+regardless of how many requests it serves.
+
+TPU-fit notes: slot writes are single-position scatters into the scan-carried
+cache (in-place, a few KB — the whole-cache-copy hazard documented in
+``transformer.py::_layer`` does not apply); the chunked host sync amortizes
+the device->host latency of token readback over ``steps_per_sync`` steps,
+which matters doubly on a remote-dispatch tunnel.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merv_tpu.models.backbones.llm.transformer import KVCache, LlamaDecoder
+from merv_tpu.models.generation import (
+    GenerationConfig,
+    _ban_eos_below_min_length,
+    _sample_token,
+)
+from merv_tpu.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch(__name__)
+
+Array = jax.Array
+PyTree = Any
+
+
+@dataclass
+class Request:
+    """One generation request. Provide ``input_ids`` (already tokenized) for
+    LLM-level engines, or ``prompt_text`` (+ optional ``video``) for VidLM
+    engines, which tokenize and preprocess through the model's own pipeline."""
+
+    request_id: str
+    input_ids: Optional[np.ndarray] = None  # [T] int32
+    prompt_text: Optional[str] = None
+    video: Optional[Any] = None  # path / frame array; None = unimodal
+    max_new_tokens: int = 128
+
+
+@dataclass
+class RequestResult:
+    request_id: str
+    token_ids: np.ndarray  # [max_new_tokens] int32, pad after EOS (generate() layout)
+    finish_reason: str  # "eos" | "budget"
+
+
+@dataclass
+class EngineStats:
+    prefills: int = 0
+    decode_chunks: int = 0
+    decode_steps: int = 0
+    slot_steps_active: int = 0  # slot-steps spent on live requests
+    slot_steps_idle: int = 0  # slot-steps wasted on empty/finished slots
+    prefill_buckets: List[int] = field(default_factory=list)
+
+    @property
+    def slot_utilization(self) -> float:
+        total = self.slot_steps_active + self.slot_steps_idle
+        return self.slot_steps_active / total if total else 0.0
+
+
+@dataclass
+class _Slot:
+    request: Optional[Request] = None
+    emitted: List[int] = field(default_factory=list)
+    done: bool = True  # no occupant
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _insert_into_slot(
+    cache: KVCache,
+    last_tok: Array,  # [B]
+    small: Tuple[Array, Array, Optional[Array], Optional[Array]],  # [L,1,H,Tb,D] (+scales)
+    slot: Array,  # scalar int32
+    n_valid: Array,  # scalar int32
+    first_tok: Array,  # scalar int32
+) -> Tuple[KVCache, Array]:
+    """Splice a freshly prefilled request into slot row ``slot`` of the shared
+    cache: copy its Tb cache rows to offset 0 and reset the slot's pointer.
+    Stale rows past ``n_valid`` from the previous occupant stay in HBM but are
+    dead — per-slot kv masks never read past ``length[b]`` and decode
+    overwrites them in order."""
+    sk, sv, sks, svs = small
+
+    def put(buf, val):
+        return jax.lax.dynamic_update_slice(buf, val, (0, slot, 0, 0, 0))
+
+    k, v = put(cache.k, sk.astype(cache.k.dtype)), put(cache.v, sv.astype(cache.v.dtype))
+    ks = put(cache.k_scale, sks) if cache.k_scale is not None else None
+    vs = put(cache.v_scale, svs) if cache.v_scale is not None else None
+    length = cache.length.at[slot].set(n_valid)
+    last_tok = last_tok.at[slot].set(first_tok)
+    return KVCache(k, v, length, ks, vs), last_tok
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6), donate_argnums=(2,))
+def _decode_chunk(
+    decoder: LlamaDecoder,
+    params: PyTree,
+    cache: KVCache,  # length: [B] per-slot pointers
+    last_tok: Array,  # [B] int32
+    done: Array,  # [B] bool
+    cfg: GenerationConfig,
+    num_steps: int,
+    rng: Array,
+) -> Tuple[Array, KVCache, Array, Array]:
+    """Advance every slot ``num_steps`` tokens in one program.
+
+    Finished/empty slots (``done``) still flow through the batched matmuls
+    (static shapes — that's the price of one compiled program) but their
+    pointers freeze, they emit ``pad_token_id``, and their cache row only
+    self-overwrites one masked-in position. Returns ([num_steps, B] tokens,
+    cache, last token, done)."""
+
+    def step(carry, key_t):
+        cache, tok, done = carry
+        logits, cache2 = decoder(params, input_ids=tok[:, None], kv_cache=cache)
+        lg = logits[:, 0].astype(jnp.float32)
+        lg = _ban_eos_below_min_length(lg, cache.length + 1, cfg)
+        nxt = _sample_token(lg, key_t, cfg)
+        nxt = jnp.where(done, cfg.pad_token_id, nxt)
+        new_done = done | (nxt == cfg.eos_token_id)
+        # freeze finished slots' pointers so they never walk off their row
+        cache2 = cache2._replace(length=jnp.where(done, cache.length, cache2.length))
+        return (cache2, nxt, new_done), nxt
+
+    keys = jax.random.split(rng, num_steps)
+    (cache, tok, done), toks = jax.lax.scan(step, (cache, last_tok, done), keys)
+    return toks, cache, tok, done
+
+
+def _llm_prefill(
+    decoder: LlamaDecoder,
+    params: PyTree,
+    cfg: GenerationConfig,
+    input_ids: Array,  # [1, Tb] right-padded
+    attention_mask: Array,  # [1, Tb]
+    rng: Array,
+) -> Tuple[Tuple[Array, Array, Optional[Array], Optional[Array]], Array, Array]:
+    """B=1 prompt prefill -> (small cache buffers [L,1,H,Tb,D], first token [1],
+    n_valid [1]). Mirrors generation.generate()'s prefill exactly (positions
+    from the mask cumsum, last-valid lm_head gather, min-length EOS ban)."""
+    Tb = input_ids.shape[1]
+    cache_dtype = jnp.int8 if cfg.kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
+    cache = KVCache.create(decoder.cfg, 1, Tb, dtype=cache_dtype)
+    am = attention_mask.astype(jnp.int32)
+    positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
+    n_valid = jnp.sum(am, axis=1)
+    logits, cache = decoder(
+        params, input_ids=input_ids, attention_mask=attention_mask,
+        positions=positions, kv_cache=cache, logits_indices=n_valid - 1,
+    )
+    first_logits = _ban_eos_below_min_length(logits[:, 0].astype(jnp.float32), n_valid, cfg)
+    first = _sample_token(first_logits, rng, cfg)
+    return (cache.k, cache.v, cache.k_scale, cache.v_scale), first, n_valid
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over a :class:`LlamaDecoder` (or a full
+    MERV VidLM via :meth:`for_vidlm`). Submit requests, then :meth:`run`.
+
+    The engine is generation-config-homogeneous (one sampling config, one
+    compiled decode program); per-request knobs are prompt, media, and
+    ``max_new_tokens``. ``max_len`` bounds prompt+output per slot — admission
+    rejects requests that cannot fit.
+    """
+
+    def __init__(
+        self,
+        decoder: LlamaDecoder,
+        llm_params: PyTree,
+        *,
+        slots: int = 4,
+        max_len: int = 1024,
+        steps_per_sync: int = 8,
+        config: GenerationConfig = GenerationConfig(),
+        length_bucket: int = 64,
+        prefill_fn: Optional[Callable[[Request], Tuple[Tuple[Array, ...], Array, Array]]] = None,
+        rng: Optional[Array] = None,
+    ) -> None:
+        if config.kv_cache_dtype not in (None, "int8"):
+            raise ValueError(f"unsupported kv_cache_dtype {config.kv_cache_dtype!r}")
+        self.decoder = decoder
+        self.llm_params = llm_params
+        self.num_slots = slots
+        self.max_len = max_len
+        self.steps_per_sync = steps_per_sync
+        self.config = config
+        self.length_bucket = length_bucket
+        self._prefill_request = prefill_fn or self._default_prefill
+        # one jit wrapper for the engine's lifetime: its compilation cache is
+        # per-wrapper, so re-wrapping per request would retrace every prefill
+        self._jit_prefill = jax.jit(_llm_prefill, static_argnums=(0, 2))
+        self._rng = jax.random.PRNGKey(0) if rng is None else rng
+
+        cache_dtype = jnp.int8 if config.kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
+        cache = KVCache.create(decoder.cfg, slots, max_len, dtype=cache_dtype)
+        self._cache = cache._replace(length=jnp.zeros((slots,), jnp.int32))
+        self._last_tok = jnp.full((slots,), config.pad_token_id, jnp.int32)
+        self._slots = [_Slot() for _ in range(slots)]
+        self._queue: deque[Request] = deque()
+        self._results: Dict[str, RequestResult] = {}
+        self.stats = EngineStats()
+
+    # ------------------------------------------------------------------ api
+    def submit(self, request: Request) -> None:
+        self._queue.append(request)
+
+    def run(self, requests: Sequence[Request] = ()) -> Dict[str, RequestResult]:
+        """Serve all queued (+ given) requests to completion; returns results
+        keyed by request_id. Callable repeatedly — state persists."""
+        for r in requests:
+            self.submit(r)
+        self._admit()
+        while any(s.request is not None for s in self._slots):
+            self._decode_one_chunk()
+            self._admit()
+        return dict(self._results)
+
+    # ------------------------------------------------------------ internals
+    def _next_key(self) -> Array:
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _bucket(self, n: int) -> int:
+        b = self.length_bucket
+        return min(-(-n // b) * b, self.max_len) if b > 1 else n
+
+    def _default_prefill(self, req: Request):
+        if req.input_ids is None:
+            raise ValueError("LLM-level engine requests need input_ids (tokenized prompt)")
+        ids = np.asarray(req.input_ids, np.int32).reshape(-1)
+        Tb = self._bucket(len(ids))
+        if len(ids) > Tb:
+            raise ValueError(f"prompt ({len(ids)} tokens) exceeds max_len {self.max_len}")
+        padded = np.full((1, Tb), self.config.pad_token_id, np.int32)
+        mask = np.zeros((1, Tb), np.int32)
+        padded[0, : len(ids)] = ids
+        mask[0, : len(ids)] = 1
+        if Tb not in self.stats.prefill_buckets:
+            self.stats.prefill_buckets.append(Tb)
+        return self._jit_prefill(
+            self.decoder, self.llm_params, self.config,
+            jnp.asarray(padded), jnp.asarray(mask), self._next_key(),
+        )
+
+    def _admit(self) -> None:
+        for slot_idx, slot in enumerate(self._slots):
+            if slot.request is not None or not self._queue:
+                continue
+            req = self._queue.popleft()
+            small, first, n_valid = self._prefill_request(req)
+            self.stats.prefills += 1
+            n = int(n_valid[0])
+            if n + req.max_new_tokens > self.max_len:
+                raise ValueError(
+                    f"request {req.request_id}: prompt ({n}) + max_new_tokens "
+                    f"({req.max_new_tokens}) exceeds engine max_len {self.max_len}"
+                )
+            first_i = int(first[0])
+            if req.max_new_tokens == 1 or first_i == self.config.eos_token_id:
+                self._finish(req, [first_i], "eos" if first_i == self.config.eos_token_id else "budget")
+                continue
+            self._cache, self._last_tok = _insert_into_slot(
+                self._cache, self._last_tok,
+                small, jnp.int32(slot_idx), n_valid[0], first[0],
+            )
+            slot.request = req
+            slot.emitted = [first_i]
+            slot.done = False
+
+    def _decode_one_chunk(self) -> None:
+        done_in = jnp.asarray([s.done for s in self._slots])
+        toks, self._cache, self._last_tok, _ = _decode_chunk(
+            self.decoder, self.llm_params, self._cache, self._last_tok,
+            done_in, self.config, self.steps_per_sync, self._next_key(),
+        )
+        toks = np.asarray(toks)  # [K, B] — the one host sync per chunk
+        self.stats.decode_chunks += 1
+        self.stats.decode_steps += self.steps_per_sync
+        for slot_idx, slot in enumerate(self._slots):
+            if slot.request is None:
+                self.stats.slot_steps_idle += self.steps_per_sync
+                continue
+            req = slot.request
+            consumed = 0
+            for t in toks[:, slot_idx]:
+                if slot.done or len(slot.emitted) >= req.max_new_tokens:
+                    break
+                consumed += 1
+                slot.emitted.append(int(t))
+                if int(t) == self.config.eos_token_id:
+                    slot.done = True
+            self.stats.slot_steps_active += consumed
+            self.stats.slot_steps_idle += self.steps_per_sync - consumed
+            if slot.done or len(slot.emitted) >= req.max_new_tokens:
+                self._finish(req, slot.emitted, "eos" if slot.done else "budget")
+                slot.request, slot.emitted, slot.done = None, [], True
+
+    def _finish(self, req: Request, emitted: List[int], reason: str) -> None:
+        out = np.full((req.max_new_tokens,), self.config.pad_token_id, np.int32)
+        out[: len(emitted)] = emitted[: req.max_new_tokens]
+        self._results[req.request_id] = RequestResult(req.request_id, out, reason)
+
+    # ------------------------------------------------------------- frontends
+    @classmethod
+    def for_vidlm(cls, vidlm: Any, params: PyTree, **kwargs: Any) -> "ContinuousBatchingEngine":
+        """Engine over a full MERV VidLM: requests carry ``prompt_text`` (+
+        optional ``video``); prefill runs the whole multimodal pipeline
+        (towers -> projectors -> fusion -> splice -> prompt prefill) as one
+        jitted program per prompt-length bucket, exactly like
+        ``generate_batch`` does (merv.py::generate_ids) but at B=1."""
+        decoder = vidlm.llm_backbone.decoder
+        engine = cls(decoder, params["llm_backbone"], **kwargs)
+        jitted: Dict[Tuple[int, ...], Any] = {}
+
+        def mm_prefill(params_, ids, mask, videos, is_mm, rng):
+            feats = vidlm.encode_videos(params_, videos, None)
+            visual, _ = vidlm.project_and_fuse(params_, feats)
+            embeds, m2, _ = vidlm.embed_multimodal(params_, ids, mask, visual, None, is_mm)
+            Tc = embeds.shape[1]
+            cache_dtype = (
+                jnp.int8 if engine.config.kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
+            )
+            cache = KVCache.create(decoder.cfg, 1, Tc, dtype=cache_dtype)
+            am = m2.astype(jnp.int32)
+            positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
+            n_valid = jnp.sum(am, axis=1)
+            logits, cache = decoder(
+                params_["llm_backbone"], inputs_embeds=embeds, attention_mask=am,
+                positions=positions, kv_cache=cache, logits_indices=n_valid - 1,
+            )
+            first_logits = _ban_eos_below_min_length(
+                logits[:, 0].astype(jnp.float32), n_valid, engine.config
+            )
+            first = _sample_token(first_logits, rng, engine.config)
+            return (cache.k, cache.v, cache.k_scale, cache.v_scale), first, n_valid
+
+        def prefill_request(req: Request):
+            if req.prompt_text is None:
+                raise ValueError("VidLM engine requests need prompt_text")
+            ids, mask, vids, is_mm = vidlm._prepare_batch_inputs(
+                [req.video], [req.prompt_text], length_bucket=engine.length_bucket,
+            )
+            key = (ids.shape[1],)
+            fn = jitted.get(key)
+            if fn is None:
+                fn = jitted[key] = jax.jit(mm_prefill)
+                engine.stats.prefill_buckets.append(ids.shape[1])
+            return fn(params, ids, mask, vids, is_mm, engine._next_key())
+
+        engine._prefill_request = prefill_request
+        return engine

@@ -1,0 +1,257 @@
+"""Continuous-batching serving engine (merv_tpu/serving/engine.py).
+
+The reference serves bs=1 prompt-at-a-time through HF ``generate`` (reference
+``merv/models/vidlms/merv.py:779-830``); our batched ``generate_ids`` already
+beats that, and the engine goes further: per-slot KV-cache pointers so short
+answers release their slot while long ones keep decoding. These tests pin
+
+- exact greedy parity with ``generation.generate`` (the engine is an
+  admission policy, not a different decoder),
+- per-slot cache-pointer correctness across slot reuse (a retired slot's
+  stale rows must never leak into its successor),
+- int8 KV-cache mode,
+- the compiled-program contract: ONE decode program + one prefill program
+  per prompt-length bucket, regardless of request count,
+- the full-VidLM frontend (multimodal prefill via the model's own pipeline).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merv_tpu.models.backbones.llm.transformer import KVCache, LlamaDecoder, tiny_decoder_config
+from merv_tpu.models.generation import GenerationConfig, generate
+from merv_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def decoder_and_params():
+    cfg = tiny_decoder_config(compute_dtype=jnp.float32, param_dtype=jnp.float32)
+    dec = LlamaDecoder(cfg)
+    return dec, dec.init(KEY)
+
+
+def _prompts(lens, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(4, 30, (n,)).astype(np.int32) for n in lens]
+
+
+def _reference_rows(dec, params, prompts, gcfg):
+    return [
+        np.asarray(generate(dec, params, input_ids=jnp.asarray(p[None]), config=gcfg)[0])
+        for p in prompts
+    ]
+
+
+def test_engine_matches_generate_greedy(decoder_and_params):
+    """5 requests through 2 slots == 5 independent generate() calls, token for
+    token (greedy). Exercises admission, slot retirement, and reuse."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 3, 9, 2, 7])
+    refs = _reference_rows(dec, params, prompts, gcfg)
+
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=3, config=gcfg, length_bucket=4
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    assert eng.stats.prefills == 5
+    # 5 requests through 2 slots requires slot reuse
+    assert eng.stats.slot_steps_active > 0 and eng.stats.decode_chunks >= 3
+
+
+def test_engine_program_count_contract(decoder_and_params):
+    """One decode program total; one prefill program per length bucket — the
+    TPU serving invariant (compiles are minutes on hardware)."""
+    from merv_tpu.serving import engine as engine_mod
+
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=1, pad_token_id=0)
+    # two distinct buckets: lens 2,3 -> 8; lens 9,12 -> 16
+    prompts = _prompts([2, 9, 3, 12, 2, 11])
+
+    decode_cache0 = engine_mod._decode_chunk._cache_size()
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=3, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=8
+    )
+    prefill_cache0 = eng._jit_prefill._cache_size()
+    eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=4) for i, p in enumerate(prompts)])
+    assert sorted(eng.stats.prefill_buckets) == [8, 16]
+    assert eng._jit_prefill._cache_size() - prefill_cache0 == 2
+    assert engine_mod._decode_chunk._cache_size() - decode_cache0 <= 1
+
+
+def test_engine_slot_reuse_no_stale_leak(decoder_and_params):
+    """A long prompt retires, then a SHORT prompt reuses its slot: the stale
+    cache rows past the short prompt's length must be invisible. Run enough
+    decode steps that a leak would change the argmax stream."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=10, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([14, 13, 2, 3])  # long ones first, shorts admitted after
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=4, config=gcfg, length_bucket=2
+    )
+    results = eng.run(
+        [Request(f"r{i}", input_ids=p, max_new_tokens=10) for i, p in enumerate(prompts)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+
+
+def test_engine_int8_kv(decoder_and_params):
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=1, pad_token_id=0, kv_cache_dtype="int8")
+    prompts = _prompts([5, 3, 7])
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=4
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=6) for i, p in enumerate(prompts)])
+    assert eng._cache.k.dtype == jnp.int8 and eng._cache.k_scale is not None
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+
+
+def test_engine_heterogeneous_budgets_and_eos(decoder_and_params):
+    """Per-request max_new_tokens: short-budget rows retire early and their
+    freed slots serve later requests; outputs still match generate()."""
+    dec, params = decoder_and_params
+    prompts = _prompts([4, 6, 5])
+    budgets = [2, 7, 1]
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=3,
+        config=GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0),
+        length_bucket=4,
+    )
+    results = eng.run(
+        [Request(f"r{i}", input_ids=p, max_new_tokens=b) for i, (p, b) in enumerate(zip(prompts, budgets))]
+    )
+    for i, (p, b) in enumerate(zip(prompts, budgets)):
+        gcfg = GenerationConfig(max_new_tokens=b, eos_token_id=1, pad_token_id=0)
+        ref = np.asarray(generate(dec, params, input_ids=jnp.asarray(p[None]), config=gcfg)[0])
+        got = results[f"r{i}"].token_ids
+        assert got.shape == (b,)
+        assert np.array_equal(got, ref), i
+        assert results[f"r{i}"].finish_reason in ("eos", "budget")
+
+
+def test_engine_admission_guard(decoder_and_params):
+    dec, params = decoder_and_params
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=1, max_len=16,
+        config=GenerationConfig(max_new_tokens=12, eos_token_id=1, pad_token_id=0),
+        length_bucket=4,
+    )
+    with pytest.raises(ValueError, match="exceeds engine max_len"):
+        eng.run([Request("big", input_ids=_prompts([8])[0], max_new_tokens=12)])
+
+
+def test_engine_sampling_runs(decoder_and_params):
+    """Sampling mode: engine completes and emits only in-vocab tokens (the rng
+    stream differs from generate()'s by construction, so no parity claim)."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(
+        max_new_tokens=5, do_sample=True, temperature=0.8, top_p=0.9,
+        eos_token_id=1, pad_token_id=0,
+    )
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=4,
+        rng=jax.random.PRNGKey(7),
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=5) for i, p in enumerate(_prompts([4, 6]))])
+    V = dec.cfg.vocab_size
+    for r in results.values():
+        assert r.token_ids.shape == (5,) and (r.token_ids >= 0).all() and (r.token_ids < V).all()
+
+
+# ---------------------------------------------------------------------------
+# per-slot KVCache semantics at the decoder level
+# ---------------------------------------------------------------------------
+
+
+def test_per_slot_decode_matches_scalar(decoder_and_params):
+    """Vector-length cache decode == per-row scalar-cache decode (the
+    primitive the engine is built on; transformer.py per_slot path)."""
+    dec, params = decoder_and_params
+    cfg = dec.cfg
+    MAX, lens = 16, [5, 3]
+    prompts = _prompts(lens, seed=1)
+
+    refs, smalls = [], []
+    for ids in prompts:
+        cache = KVCache.create(cfg, 1, MAX, dtype=jnp.float32)
+        logits, cache = dec(params, input_ids=jnp.asarray(ids[None]), kv_cache=cache)
+        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        step_logits, _ = dec(params, input_ids=nxt[:, None], kv_cache=cache)
+        refs.append(np.asarray(step_logits[:, 0]))
+        smalls.append((cache, nxt))
+
+    big = KVCache.create(cfg, 2, MAX, dtype=jnp.float32)
+    k, v = big.k, big.v
+    for slot, (c, _) in enumerate(smalls):
+        k = jax.lax.dynamic_update_slice(k, c.k, (0, slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, c.v, (0, slot, 0, 0, 0))
+    bigc = KVCache(k, v, jnp.asarray(lens, jnp.int32))
+    toks = jnp.concatenate([s[1] for s in smalls])
+    step_logits, bigc2 = dec(params, input_ids=toks[:, None], kv_cache=bigc)
+    for b in range(2):
+        np.testing.assert_allclose(np.asarray(step_logits[:, 0])[b], refs[b][0], rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(bigc2.length), np.asarray(lens) + 1)
+
+
+def test_per_slot_multi_token_rejected(decoder_and_params):
+    dec, params = decoder_and_params
+    cache = KVCache.create(dec.cfg, 2, 16, dtype=jnp.float32)
+    cache = cache._replace(length=jnp.asarray([3, 5], jnp.int32))
+    with pytest.raises(ValueError, match="single-token decode only"):
+        dec(params, input_ids=jnp.ones((2, 2), jnp.int32), kv_cache=cache)
+
+
+# ---------------------------------------------------------------------------
+# full-VidLM frontend
+# ---------------------------------------------------------------------------
+
+
+def test_engine_for_vidlm_matches_generate_ids():
+    """Multimodal continuous batching: engine output == per-request
+    generate_ids through the full pipeline (towers -> fusion -> splice)."""
+    from tests.test_merv_vidlm import _make_merv
+
+    m = _make_merv()
+    params = m.init(KEY)
+    videos = [
+        (np.random.RandomState(3).rand(4, 32, 32, 3) * 255).astype(np.uint8),
+        None,  # unimodal row
+        (np.random.RandomState(4).rand(4, 32, 32, 3) * 255).astype(np.uint8),
+    ]
+    prompts = ["In: a?\nOut: ", "In: what is happening here today?\nOut: ", "In: b?\nOut: "]
+
+    stop = m.llm_backbone.stop_token_id
+    gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=stop, pad_token_id=0)
+
+    refs = []
+    for vid, prompt in zip(videos, prompts):
+        ids, mask, vids, is_mm = m._prepare_batch_inputs([vid], [prompt], length_bucket=8)
+        out = m.generate_ids(
+            params, jnp.asarray(ids), jnp.asarray(mask), vids,
+            is_multimodal=jnp.asarray(is_mm), max_new_tokens=4,
+        )
+        refs.append(np.asarray(out[0]))
+
+    eng = ContinuousBatchingEngine.for_vidlm(
+        m, params, slots=2, max_len=128, steps_per_sync=2, config=gcfg, length_bucket=8
+    )
+    results = eng.run(
+        [Request(f"r{i}", prompt_text=p, video=v, max_new_tokens=4)
+         for i, (p, v) in enumerate(zip(prompts, videos))]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
