@@ -171,3 +171,174 @@ def generate(
         decoder, params, first, cache, cache_mask, n_valid, k1, config, config.max_new_tokens - 1
     )
     return tokens
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding (prompt-lookup / n-gram drafting, no draft model)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_propose(
+    hist: Array,  # [Hc] int32 token history (prompt + generated), pad beyond hist_len
+    hist_len: Array,  # scalar int32
+    gamma: int,
+    ngram: int,
+    pad_id: int,
+) -> Array:
+    """Propose ``gamma`` draft tokens: find the most recent PREVIOUS occurrence
+    of the last ``ngram`` tokens in the history and return what followed it
+    (prompt-lookup decoding). No match -> pad tokens (they verify-reject at
+    zero extra cost; the step is HBM-bound on weights either way).
+
+    Static-shape throughout: the match scan is ``ngram`` shifted compares over
+    the whole buffer — O(Hc*ngram) VPU elementwise work, noise next to the
+    verify forward.
+    """
+    Hc = hist.shape[0]
+    key = jax.lax.dynamic_slice(hist, (hist_len - ngram,), (ngram,))
+    W = Hc - ngram - gamma + 1  # starts whose ngram window AND draft read stay in bounds
+    match = jnp.ones((W,), bool)
+    for j in range(ngram):
+        match &= hist[j : W + j] == key[j]
+    # strictly-previous occurrence only (the current suffix starts at hist_len-ngram)
+    match &= jnp.arange(W) < hist_len - ngram
+    found = match.any()
+    last = (W - 1) - jnp.argmax(match[::-1])  # most recent match wins
+    start = jnp.where(found, last, 0)
+    draft = jax.lax.dynamic_slice(hist, (start + ngram,), (gamma,))
+    return jnp.where(found, draft, jnp.int32(pad_id))
+
+
+def generate_speculative(
+    decoder: LlamaDecoder,
+    params: PyTree,
+    *,
+    input_ids: Optional[Array] = None,  # [1, T] right-padded
+    inputs_embeds: Optional[Array] = None,  # [1, T, E] (multimodal prefill)
+    attention_mask: Optional[Array] = None,  # [1, T]
+    prompt_lookup_ids: Optional[Array] = None,  # [1, T'] right-padded text ids for the draft corpus
+    lookup_mask: Optional[Array] = None,  # [1, T'] validity of prompt_lookup_ids
+    config: GenerationConfig = GenerationConfig(),
+    gamma: int = 4,
+    ngram: int = 2,
+    max_cache_len: Optional[int] = None,
+) -> Array:
+    """Greedy generation with prompt-lookup speculative decoding — B=1.
+
+    Decode at full depth is AT the HBM bandwidth bound (BASELINE.md: weights
+    stream at 95% of measured bandwidth), so the only lever left is tokens
+    PER weight-stream: draft ``gamma`` tokens by n-gram lookup in the
+    prompt+history (Saxena's prompt-lookup decoding — no draft model), then
+    verify all of them in ONE ``T=gamma+1`` forward. That forward reads the
+    same weight bytes as a single-token step, so every accepted draft is a
+    nearly-free extra token; rejected drafts cost nothing (their cache rows
+    are overwritten in order by construction — same stale-row argument as the
+    serving engine's slot reuse). Output is token-for-token IDENTICAL to
+    ``generate``: speculation is lossless for greedy decoding.
+
+    The loop is one ``lax.while_loop`` whose body is the verify forward +
+    O(Hc) bookkeeping — a single compiled program, no per-step host sync.
+    The reference has no speculative path (HF bs=1 ``generate``,
+    reference ``merv/models/vidlms/merv.py:779-830``).
+    """
+    if config.do_sample:
+        raise ValueError("speculative decoding is greedy-only (lossless acceptance "
+                         "needs rejection sampling, not implemented)")
+    if gamma < 1:
+        raise ValueError(f"gamma must be >= 1, got {gamma}")
+    if inputs_embeds is None:
+        inputs_embeds = decoder.embed_input_ids(params, input_ids)
+    B, T = inputs_embeds.shape[:2]
+    if B != 1:
+        raise ValueError(f"speculative decoding supports B=1 (got B={B}); rows with "
+                         "different acceptance counts desync a shared scalar cache")
+    if prompt_lookup_ids is None:
+        if input_ids is None:
+            raise ValueError("multimodal (inputs_embeds) speculative decoding needs "
+                             "prompt_lookup_ids (the text token ids) for the draft corpus")
+        prompt_lookup_ids, lookup_mask = input_ids, attention_mask
+
+    max_new = config.max_new_tokens
+    pad_id, eos_id = config.pad_token_id, config.eos_token_id
+    cache_len = max_cache_len or (T + max_new + gamma + 1)
+    cache_dtype = jnp.int8 if config.kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
+    cache = KVCache.create(decoder.cfg, 1, cache_len, dtype=cache_dtype)
+
+    # prefill — identical to generate()
+    if attention_mask is not None:
+        am = attention_mask.astype(jnp.int32)
+        positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
+        n_valid = jnp.sum(am, axis=1)
+        last_idx = n_valid - 1
+        cache_mask = jnp.concatenate(
+            [attention_mask.astype(bool), jnp.ones((1, cache_len - T), bool)], axis=1
+        )
+    else:
+        positions = None
+        n_valid = jnp.full((1,), T, jnp.int32)
+        last_idx = jnp.full((1,), T - 1, jnp.int32)
+        cache_mask = None
+    logits, cache = decoder(
+        params, inputs_embeds=inputs_embeds, attention_mask=attention_mask,
+        positions=positions, kv_cache=cache, logits_indices=last_idx,
+    )
+    first_logits = _ban_eos_below_min_length(logits[:, 0].astype(jnp.float32), n_valid, config)
+    first = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)[0]
+
+    # draft corpus: valid prompt tokens are contiguous from 0 (right padding)
+    lk = prompt_lookup_ids[0].astype(jnp.int32)
+    n_lookup = (jnp.sum(lookup_mask[0].astype(jnp.int32)) if lookup_mask is not None
+                else jnp.int32(lk.shape[0]))
+    Hc = lk.shape[0] + max_new + 2 * gamma + ngram + 8
+    hist = jnp.full((Hc,), pad_id, jnp.int32)
+    hist = jax.lax.dynamic_update_slice(hist, lk, (0,))
+    # pads past n_lookup are inert: matches are bounded by hist_len and the
+    # first generated token overwrites nothing (appends at hist_len)
+    hist = hist.at[n_lookup].set(first)
+    hist_len = n_lookup + 1
+
+    out_buf = jnp.full((max_new + gamma + 1,), pad_id, jnp.int32).at[0].set(first)
+    steps_v = jnp.arange(gamma + 1, dtype=jnp.int32)
+    eos_vec = (jnp.arange(decoder.cfg.vocab_size) == eos_id)[None, :]
+
+    def cond(c):
+        _, _, _, _, _, n_out, done, _ = c
+        return (~done) & (n_out < max_new)
+
+    def body(c):
+        cache, hist, hist_len, last_tok, rope_pos, n_out, done, out_buf = c
+        draft = _ngram_propose(hist, hist_len, gamma, ngram, pad_id)
+        inputs = jnp.concatenate([last_tok[None], draft])[None]  # [1, gamma+1]
+        pos = (rope_pos + steps_v)[None]
+        old_len = cache.length
+        logits, cache = decoder(
+            params, input_ids=inputs, kv_cache=cache,
+            attention_mask=cache_mask, positions=pos,
+        )
+        lg = logits[0].astype(jnp.float32)  # [gamma+1, V]
+        if config.min_length > 1:
+            lg = jnp.where(((rope_pos + 1 + steps_v) < config.min_length)[:, None] & eos_vec,
+                           -jnp.inf, lg)
+        y = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [gamma+1]
+        accepted = jnp.sum(jnp.cumprod((draft == y[:gamma]).astype(jnp.int32)))
+        emit_n = accepted + 1
+        emitted = steps_v < emit_n
+        is_eos = (y == eos_id) & emitted
+        has_eos = is_eos.any()
+        emit_n = jnp.where(has_eos, jnp.argmax(is_eos) + 1, emit_n)
+        window = jnp.where(steps_v < emit_n, y, pad_id)
+        out_buf = jax.lax.dynamic_update_slice(out_buf, window, (n_out,))
+        hist = jax.lax.dynamic_update_slice(hist, window, (hist_len,))
+        # roll the write pointer back to the last ACCEPTED row; stale rows
+        # beyond are overwritten in order before they become readable (next
+        # step writes gamma+1 rows starting exactly at the new length)
+        cache = cache._replace(length=old_len + emit_n)
+        last_tok = y[jnp.maximum(emit_n - 1, 0)]
+        return (cache, hist, hist_len + emit_n, last_tok, rope_pos + emit_n,
+                n_out + emit_n, done | has_eos, out_buf)
+
+    init = (cache, hist, hist_len, first, n_valid[0], jnp.int32(1),
+            first == eos_id, out_buf)
+    _, _, _, _, _, n_out, _, out_buf = jax.lax.while_loop(cond, body, init)
+    out = jnp.where(jnp.arange(max_new) < n_out, out_buf[:max_new], pad_id)
+    return out[None]

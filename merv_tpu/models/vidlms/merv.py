@@ -416,8 +416,15 @@ class MERV(VidLM):
         rng: Optional[Array] = None,
         kv_cache_dtype: Optional[str] = None,
         mesh: Optional[Any] = None,
+        speculative_gamma: int = 0,
+        speculative_ngram: int = 2,
     ) -> Array:
         """Batched multimodal generation -> new token ids [B, max_new_tokens].
+
+        ``speculative_gamma > 0`` turns on prompt-lookup speculative decoding
+        (greedy, B=1 only — see ``generation.generate_speculative``): drafts
+        from the TEXT prompt tokens, verifies gamma+1 tokens per HBM-bound
+        weight stream. Output is token-identical to the plain path.
 
         ``mesh``: optional device mesh scoped over the serve trace
         (``activation_mesh``) — required for mesh-aware serving modes like the
@@ -437,9 +444,11 @@ class MERV(VidLM):
             eos_token_id=self.llm_backbone.stop_token_id, pad_token_id=self.llm_backbone.pad_token_id,
             kv_cache_dtype=kv_cache_dtype,
         )
+        if speculative_gamma > 0 and do_sample:
+            raise ValueError("speculative decoding is greedy-only (do_sample=False)")
         flags = (is_image is not None, is_multimodal is not None)
         cache = self.__dict__.setdefault("_serve_jit_cache", {})
-        fn = cache.get(("generate", cfg, flags, mesh))
+        fn = cache.get(("generate", cfg, flags, mesh, speculative_gamma, speculative_ngram))
         if fn is None:
             def run(params, input_ids, attention_mask, videos, is_image, is_multimodal, rng):
                 from merv_tpu.parallel.sharding import activation_mesh
@@ -450,13 +459,22 @@ class MERV(VidLM):
                     embeds, mask, _ = self.embed_multimodal(
                         params, input_ids, attention_mask, visual, None, is_multimodal
                     )
+                    if speculative_gamma > 0:
+                        from merv_tpu.models.generation import generate_speculative
+
+                        return generate_speculative(
+                            self.llm_backbone.decoder, params["llm_backbone"],
+                            inputs_embeds=embeds, attention_mask=mask.astype(jnp.int32),
+                            prompt_lookup_ids=input_ids, lookup_mask=attention_mask,
+                            config=cfg, gamma=speculative_gamma, ngram=speculative_ngram,
+                        )
                     return _generate(
                         self.llm_backbone.decoder, params["llm_backbone"],
                         inputs_embeds=embeds, attention_mask=mask.astype(jnp.int32), config=cfg, rng=rng,
                     )
 
             fn = jax.jit(run)
-            cache[("generate", cfg, flags, mesh)] = fn
+            cache[("generate", cfg, flags, mesh, speculative_gamma, speculative_ngram)] = fn
         return fn(
             params, input_ids, attention_mask, list(video_values), is_image, is_multimodal,
             jax.random.PRNGKey(0) if rng is None else rng,
@@ -662,6 +680,8 @@ class MERV(VidLM):
         rng: Optional[Array] = None,
         kv_cache_dtype: Optional[str] = None,
         mesh: Optional[Any] = None,
+        speculative_gamma: int = 0,
+        speculative_ngram: int = 2,
     ) -> str:
         """Single-example convenience API (reference merv.py:779-830).
 
@@ -684,6 +704,7 @@ class MERV(VidLM):
             params, input_ids, attention_mask, vids, is_multimodal=is_multimodal,
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature, top_p=top_p,
             top_k=top_k, min_length=min_length, rng=rng, kv_cache_dtype=kv_cache_dtype, mesh=mesh,
+            speculative_gamma=speculative_gamma, speculative_ngram=speculative_ngram,
         )
         out = np.asarray(tokens[0]).tolist()
         stop = self.llm_backbone.stop_token_id

@@ -60,11 +60,19 @@ class EvalConfig:
     quantize_llm: bool = False                      # weight-only int8 LLM serving (fits 7B on one v5e)
     int8_kv: bool = False                           # int8 KV cache (decode HBM bytes ~2x less; see BASELINE.md)
     mesh_seq: int = 1                               # sp-sharded KV cache over N chips (long-video serving)
+    speculative: int = 0                            # prompt-lookup speculative decoding: draft length gamma
+    #                                               # (greedy + batch_size 1 only; lossless — same tokens, fewer
+    #                                               # HBM-bound decode steps; see SERVING.md)
     # fmt: on
 
 
 @draccus.wrap()
 def evaluate(cfg: EvalConfig) -> None:
+    if cfg.speculative > 0 and (cfg.batch_size != 1 or cfg.do_sample):
+        raise ValueError(
+            "--speculative requires --batch_size 1 and greedy decoding "
+            "(do_sample=false): acceptance desyncs rows of a shared batch"
+        )
     result_dir = Path(cfg.eval_result_root) / str(cfg.model_path)
     result_dir.mkdir(parents=True, exist_ok=True)
 
@@ -147,7 +155,7 @@ def evaluate(cfg: EvalConfig) -> None:
             do_sample=cfg.do_sample, temperature=cfg.temperature,
             max_new_tokens=cfg.max_new_tokens, min_length=cfg.min_length,
             num_frames=model_cfg.num_frames, kv_cache_dtype=("int8" if cfg.int8_kv else None),
-            mesh=serve_mesh, **clip,
+            mesh=serve_mesh, speculative_gamma=cfg.speculative, **clip,
         )
 
     def _clip(question):
