@@ -190,23 +190,33 @@ def _ngram_propose(
     (prompt-lookup decoding). No match -> pad tokens (they verify-reject at
     zero extra cost; the step is HBM-bound on weights either way).
 
-    Static-shape throughout: the match scan is ``ngram`` shifted compares over
-    the whole buffer — O(Hc*ngram) VPU elementwise work, noise next to the
+    ``ngram`` is the LONGEST suffix tried: levels ngram, ngram-1, ..., 1
+    cascade — a longer suffix match is a stronger context signal, so it wins;
+    shorter levels keep proposals flowing when the long suffix is novel.
+
+    Static-shape throughout: each level's match scan is shifted compares over
+    the whole buffer — O(Hc*ngram^2) VPU elementwise work, noise next to the
     verify forward.
     """
     Hc = hist.shape[0]
-    key = jax.lax.dynamic_slice(hist, (hist_len - ngram,), (ngram,))
     W = Hc - ngram - gamma + 1  # starts whose ngram window AND draft read stay in bounds
-    match = jnp.ones((W,), bool)
-    for j in range(ngram):
-        match &= hist[j : W + j] == key[j]
-    # strictly-previous occurrence only (the current suffix starts at hist_len-ngram)
-    match &= jnp.arange(W) < hist_len - ngram
-    found = match.any()
-    last = (W - 1) - jnp.argmax(match[::-1])  # most recent match wins
-    start = jnp.where(found, last, 0)
-    draft = jax.lax.dynamic_slice(hist, (start + ngram,), (gamma,))
-    return jnp.where(found, draft, jnp.int32(pad_id))
+    idx = jnp.arange(W)
+    best_start = jnp.int32(0)
+    best_found = jnp.zeros((), bool)
+    for n in range(ngram, 0, -1):
+        key = jax.lax.dynamic_slice(hist, (hist_len - n,), (n,))
+        match = jnp.ones((W,), bool)
+        for j in range(n):
+            match &= hist[j : W + j] == key[j]
+        # strictly-previous occurrence only (the current suffix starts at hist_len-n)
+        match &= idx < hist_len - n
+        found = match.any()
+        last = (W - 1) - jnp.argmax(match[::-1])  # most recent match wins
+        take = found & ~best_found
+        best_start = jnp.where(take, last + n, best_start)  # draft begins after the match
+        best_found |= found
+    draft = jax.lax.dynamic_slice(hist, (best_start,), (gamma,))
+    return jnp.where(best_found, draft, jnp.int32(pad_id))
 
 
 def generate_speculative(

@@ -118,10 +118,19 @@ def test_ngram_propose_finds_most_recent():
     # current suffix (5, 6) at 7..8; most recent PREVIOUS occurrence at 4..5 -> next is 4
     draft = _ngram_propose(hist, jnp.int32(9), gamma=2, ngram=2, pad_id=0)
     assert draft.tolist() == [4, 5]
-    # no previous occurrence -> pads
+    # no previous occurrence at ANY level -> pads
     hist2 = jnp.array([9, 8, 7, 6, 5] + [0] * 11, jnp.int32)
     draft2 = _ngram_propose(hist2, jnp.int32(5), gamma=2, ngram=2, pad_id=0)
     assert draft2.tolist() == [0, 0]
+    # cascade: bigram suffix (8, 5) is novel, but unigram 5 occurred at 1 -> next is 6
+    hist3 = jnp.array([9, 5, 6, 3, 8, 5] + [0] * 10, jnp.int32)
+    draft3 = _ngram_propose(hist3, jnp.int32(6), gamma=2, ngram=2, pad_id=0)
+    assert draft3.tolist() == [6, 3]
+    # longest level wins over a more recent shorter match: suffix (5, 6) matches
+    # at 1 even though unigram 6 also occurs later at 6
+    hist4 = jnp.array([9, 5, 6, 3, 7, 8, 6, 5, 6] + [0] * 7, jnp.int32)
+    draft4 = _ngram_propose(hist4, jnp.int32(9), gamma=1, ngram=2, pad_id=0)
+    assert draft4.tolist() == [3]
 
 
 def test_speculative_jits_to_one_program(dp):
