@@ -121,7 +121,8 @@ class KVCache(NamedTuple):
     v: Array  # [L, B, H_kv, max_len, D]
     # number of valid positions: scalar int32 (whole batch shares one write
     # pointer — batch prefill + lockstep decode), or [B] int32 (per-slot
-    # pointers for the continuous-batching engine; single-token steps only)
+    # pointers for the continuous-batching engine; T=1 decode steps and
+    # T=gamma+1 speculative-verify steps)
     length: Array
     k_scale: Optional[Array] = None  # [L, B, H_kv, max_len, 1] f32 (int8 mode)
     v_scale: Optional[Array] = None
@@ -357,14 +358,27 @@ class LlamaDecoder:
             li = layer_idx
 
             if per_slot:
-                # Continuous-batching decode: each slot writes its ONE new
-                # position at its own offset ``cache_len[b]``. A single scatter
-                # touches B*H*D elements of the scan-carried buffer (XLA
-                # aliases it in place, like the dynamic_update_slice below) —
-                # never a whole-slice rewrite, which would reintroduce the
-                # 2.3 ms/token cache copy this layout was built to kill.
-                def put(buf, val):  # val [B, H, 1, D] (or [B, H, 1, 1] scales)
-                    return buf.at[li, jnp.arange(B), :, cache_len, :].set(val[:, :, 0])
+                if T == 1:
+                    # Continuous-batching decode: each slot writes its ONE new
+                    # position at its own offset ``cache_len[b]``. A single
+                    # scatter touches B*H*D elements of the scan-carried buffer
+                    # (XLA aliases it in place, like the dynamic_update_slice
+                    # below) — never a whole-slice rewrite, which would
+                    # reintroduce the 2.3 ms/token cache copy this layout was
+                    # built to kill.
+                    def put(buf, val):  # val [B, H, 1, D] (or [B, H, 1, 1] scales)
+                        return buf.at[li, jnp.arange(B), :, cache_len, :].set(val[:, :, 0])
+                else:
+                    # Batched speculative verify: slot b writes its T draft
+                    # positions at cache_len[b]..cache_len[b]+T-1 (a [B, T]
+                    # scatter; still a few-KB in-place touch per step)
+                    bidx = jnp.arange(B)[:, None]
+                    pidx = cache_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+                    def put(buf, val):  # val [B, H, T, D] (or [B, H, T, 1] scales)
+                        # advanced indices (li, bidx, pidx) move to the front:
+                        # target block is [B, T, H, D]
+                        return buf.at[li, bidx, :, pidx, :].set(val.transpose(0, 2, 1, 3))
             else:
                 def put(buf, val):
                     return jax.lax.dynamic_update_slice(buf, val[None], (li, 0, 0, cache_len, 0))
@@ -413,11 +427,16 @@ class LlamaDecoder:
                 q_offset=cache_len,
             )
         else:
-            # Per-slot decode (T=1) passes q_offset=None: the query is the
+            # Per-slot decode at T=1 passes q_offset=None: the query is the
             # last valid position by construction and kv_mask already bounds
-            # each slot at length[b]+1, so the causal offset is redundant —
-            # and a [B]-vector offset would not broadcast in the kernels.
-            qoff = None if (cache_kv is None or per_slot) else cache_len
+            # each slot at length[b]+1, so the causal offset is redundant.
+            # Per-slot T>1 (batched speculative verify) needs the [B]-vector
+            # offset for intra-block causality — the XLA paths broadcast it
+            # per row (attention() routes vector offsets away from Pallas).
+            if cache_kv is None or (per_slot and T == 1):
+                qoff = None
+            else:
+                qoff = cache_len
             out = attention(
                 q, k.astype(q.dtype), v.astype(q.dtype),
                 causal=causal, kv_mask=kv_mask, impl=attn_impl,
@@ -479,16 +498,12 @@ class LlamaDecoder:
             max_len = kv_cache.k.shape[3]
             # PER-SLOT lengths (continuous-batching decode): ``length`` may be
             # a [B] vector — each row's sequence occupies cache positions
-            # [0, length[b]) and the new token writes at length[b] (a scatter
-            # in ``_layer``). Only single-token steps are supported in this
-            # mode: multi-token prefill happens per-request at B=1 (scalar
-            # length) and is spliced into a slot by the serving engine.
+            # [0, length[b]) and the T new tokens write at
+            # length[b]..length[b]+T-1 (a scatter in ``_layer``). T=1 is plain
+            # continuous-batching decode; T>1 is the batched speculative
+            # verify (per-row causal offsets). Prefill happens per-request at
+            # B=1 (scalar length) and is spliced into a slot by the engine.
             per_slot = getattr(start, "ndim", 0) == 1
-            if per_slot and T != 1:
-                raise ValueError(
-                    f"per-slot cache lengths support single-token decode only (T={T}); "
-                    "prefill runs per-request with a scalar-length cache"
-                )
             start_col = start[:, None] if per_slot else start
             if positions is None:
                 positions = jnp.broadcast_to(

@@ -125,9 +125,15 @@ def attention_reference(
     if causal:
         Tk = k.shape[2]
         offset = (Tk - Tq) if q_offset is None else q_offset
-        qi = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0) + offset
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0)
         ki = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
-        logits = jnp.where((ki <= qi)[None, None], logits, DEFAULT_MASK_VALUE)
+        if getattr(offset, "ndim", 0) == 1:
+            # per-row offsets (continuous-batching verify: each slot's queries
+            # start at its own cache length) -> [B, Tq, Tk] causal mask
+            cm = ki[None] <= (qi[None] + offset[:, None, None])
+            logits = jnp.where(cm[:, None], logits, DEFAULT_MASK_VALUE)
+        else:
+            logits = jnp.where((ki <= (qi + offset))[None, None], logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
@@ -174,8 +180,13 @@ def attention_chunked(
         if kv_mask is not None:
             s = jnp.where(kv_mask[:, None, None, None, :], s, DEFAULT_MASK_VALUE)
         if causal:
-            qi = start + jnp.arange(block_q, dtype=jnp.int32) + offset
-            s = jnp.where((ki[None, :] <= qi[:, None])[None, None, None], s, DEFAULT_MASK_VALUE)
+            qi = start + jnp.arange(block_q, dtype=jnp.int32)
+            if getattr(offset, "ndim", 0) == 1:  # per-row offsets ([B])
+                cm = ki[None, None, :] <= (qi[None, :, None] + offset[:, None, None])
+                s = jnp.where(cm[:, None, None], s, DEFAULT_MASK_VALUE)
+            else:
+                s = jnp.where((ki[None, :] <= (qi + offset)[:, None])[None, None, None],
+                              s, DEFAULT_MASK_VALUE)
         probs = jax.nn.softmax(s, axis=-1).astype(q.dtype)
         return jnp.einsum("bhgqk,bhkd->bhgqd", probs, v)
 
@@ -836,6 +847,11 @@ def attention(
         on_tpu=can_use_pallas() and not _INTERPRET,
         has_mask=kv_mask is not None, self_shaped=q.shape == k.shape,
     )
+    if q_offset is not None and getattr(q_offset, "ndim", 0) == 1 and plan == "pallas":
+        # per-row q offsets ([B] vector, continuous-batching verify): the
+        # Pallas kernel takes a scalar SMEM offset — route to XLA, whose
+        # causal mask broadcasts per row
+        plan = "xla"
     if plan == "chunked":
         assert bias is None, "additive bias is not supported by the chunked path (use impl='xla')"
         return attention_chunked(

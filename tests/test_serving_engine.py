@@ -207,12 +207,43 @@ def test_per_slot_decode_matches_scalar(decoder_and_params):
     assert np.array_equal(np.asarray(bigc2.length), np.asarray(lens) + 1)
 
 
-def test_per_slot_multi_token_rejected(decoder_and_params):
+def test_per_slot_multi_token_matches_scalar(decoder_and_params):
+    """T>1 per-slot forward (the batched speculative verify): logits AND
+    written cache rows match per-row scalar-cache forwards at each row's own
+    offset — per-row causal offsets, [B,T] scatter writes."""
     dec, params = decoder_and_params
-    cache = KVCache.create(dec.cfg, 2, 16, dtype=jnp.float32)
-    cache = cache._replace(length=jnp.asarray([3, 5], jnp.int32))
-    with pytest.raises(ValueError, match="single-token decode only"):
-        dec(params, input_ids=jnp.ones((2, 2), jnp.int32), kv_cache=cache)
+    cfg = dec.cfg
+    MAX, T, lens = 16, 3, [5, 3]
+    rng = np.random.RandomState(2)
+    prompts = [rng.randint(4, 30, (1, n)).astype(np.int32) for n in lens]
+    steps = rng.randint(4, 30, (2, T)).astype(np.int32)
+
+    ref_logits, ref_caches = [], []
+    for b, ids in enumerate(prompts):
+        cache = KVCache.create(cfg, 1, MAX, dtype=jnp.float32)
+        _, cache = dec(params, input_ids=jnp.asarray(ids), kv_cache=cache)
+        lg, cache = dec(params, input_ids=jnp.asarray(steps[b : b + 1]), kv_cache=cache)
+        ref_logits.append(np.asarray(lg[0]))
+        ref_caches.append(cache)
+
+    big = KVCache.create(cfg, 2, MAX, dtype=jnp.float32)
+    k, v = big.k, big.v
+    for slot, ids in enumerate(prompts):
+        c = KVCache.create(cfg, 1, MAX, dtype=jnp.float32)
+        _, c = dec(params, input_ids=jnp.asarray(ids), kv_cache=c)
+        k = jax.lax.dynamic_update_slice(k, c.k, (0, slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, c.v, (0, slot, 0, 0, 0))
+    bigc = KVCache(k, v, jnp.asarray(lens, jnp.int32))
+    lg, bigc2 = dec(params, input_ids=jnp.asarray(steps), kv_cache=bigc)
+    assert np.array_equal(np.asarray(bigc2.length), np.asarray(lens) + T)
+    for b in range(2):
+        np.testing.assert_allclose(np.asarray(lg[b]), ref_logits[b], rtol=1e-5, atol=1e-5)
+        # the scatter wrote each row's block at its own offset
+        n = lens[b]
+        np.testing.assert_allclose(
+            np.asarray(bigc2.k[:, b, :, n : n + T]), np.asarray(ref_caches[b].k[:, 0, :, n : n + T]),
+            rtol=1e-6, atol=1e-6,
+        )
 
 
 # ---------------------------------------------------------------------------
