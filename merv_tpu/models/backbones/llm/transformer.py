@@ -366,8 +366,14 @@ class LlamaDecoder:
                     # below) — never a whole-slice rewrite, which would
                     # reintroduce the 2.3 ms/token cache copy this layout was
                     # built to kill.
+                    # mode="drop": a slot whose host-side budget was reached
+                    # mid-chunk keeps stepping until the next sync — its
+                    # pointer may walk past the buffer; those writes must
+                    # vanish, not wrap (the host retires the slot at sync)
                     def put(buf, val):  # val [B, H, 1, D] (or [B, H, 1, 1] scales)
-                        return buf.at[li, jnp.arange(B), :, cache_len, :].set(val[:, :, 0])
+                        return buf.at[li, jnp.arange(B), :, cache_len, :].set(
+                            val[:, :, 0], mode="drop"
+                        )
                 else:
                     # Batched speculative verify: slot b writes its T draft
                     # positions at cache_len[b]..cache_len[b]+T-1 (a [B, T]
@@ -377,8 +383,10 @@ class LlamaDecoder:
 
                     def put(buf, val):  # val [B, H, T, D] (or [B, H, T, 1] scales)
                         # advanced indices (li, bidx, pidx) move to the front:
-                        # target block is [B, T, H, D]
-                        return buf.at[li, bidx, :, pidx, :].set(val.transpose(0, 2, 1, 3))
+                        # target block is [B, T, H, D]. mode="drop": see T=1
+                        return buf.at[li, bidx, :, pidx, :].set(
+                            val.transpose(0, 2, 1, 3), mode="drop"
+                        )
             else:
                 def put(buf, val):
                     return jax.lax.dynamic_update_slice(buf, val[None], (li, 0, 0, cache_len, 0))

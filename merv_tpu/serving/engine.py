@@ -45,6 +45,7 @@ from merv_tpu.models.backbones.llm.transformer import KVCache, LlamaDecoder
 from merv_tpu.models.generation import (
     GenerationConfig,
     _ban_eos_below_min_length,
+    _ngram_propose,
     _sample_token,
 )
 from merv_tpu.overwatch import initialize_overwatch
@@ -83,11 +84,18 @@ class EngineStats:
     slot_steps_active: int = 0  # slot-steps spent on live requests
     slot_steps_idle: int = 0  # slot-steps wasted on empty/finished slots
     prefill_buckets: List[int] = field(default_factory=list)
+    spec_steps: int = 0  # verify forwards executed for live slots (speculative mode)
+    spec_emitted: int = 0  # tokens those forwards produced (>= spec_steps)
 
     @property
     def slot_utilization(self) -> float:
         total = self.slot_steps_active + self.slot_steps_idle
         return self.slot_steps_active / total if total else 0.0
+
+    @property
+    def tokens_per_step(self) -> float:
+        """Mean tokens per HBM-bound verify step (speculative speedup proxy)."""
+        return self.spec_emitted / self.spec_steps if self.spec_steps else 1.0
 
 
 @dataclass
@@ -160,6 +168,76 @@ def _decode_chunk(
     return toks, cache, tok, done
 
 
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8), donate_argnums=(2, 9, 10))
+def _decode_chunk_spec(
+    decoder: LlamaDecoder,
+    params: PyTree,
+    cache: KVCache,  # length: [B] per-slot pointers; buffer has gamma+1 spare rows
+    last_tok: Array,  # [B] int32
+    done: Array,  # [B] bool
+    cfg: GenerationConfig,
+    num_steps: int,
+    gamma: int,
+    ngram: int,
+    hist: Array,  # [B, Hc] per-slot token history (draft corpus)
+    hist_len: Array,  # [B] int32
+) -> Tuple[Array, Array, KVCache, Array, Array, Array, Array]:
+    """Batched speculative decode: every step drafts ``gamma`` tokens PER SLOT
+    from that slot's own history (vmapped n-gram cascade) and verifies all
+    slots' drafts in ONE ``[B, gamma+1]`` forward — the HBM-bound weight
+    stream is paid once for up to ``gamma+1`` tokens per slot. Greedy only;
+    per-slot acceptance rolls each row's write pointer back independently
+    (the per-slot multi-token cache path, ``transformer.py::_layer``).
+
+    Returns ([num_steps, B, gamma+1] token windows, [num_steps, B] emit
+    counts, cache, last token, done, hist, hist_len).
+    """
+    steps_v = jnp.arange(gamma + 1, dtype=jnp.int32)
+    max_rows = cache.k.shape[3]
+
+    def step(carry, _):
+        cache, tok, done, hist, hist_len = carry
+        draft = jax.vmap(
+            lambda h, hl: _ngram_propose(h, hl, gamma, ngram, cfg.pad_token_id)
+        )(hist, hist_len)  # [B, gamma]
+        inputs = jnp.concatenate([tok[:, None], draft], axis=1)  # [B, gamma+1]
+        old_len = cache.length
+        logits, cache2 = decoder(params, input_ids=inputs, kv_cache=cache)
+        B, _, V = logits.shape
+        lg = logits.astype(jnp.float32).reshape(B * (gamma + 1), V)
+        cur_len = (old_len[:, None] + 1 + steps_v[None]).reshape(-1)
+        lg = _ban_eos_below_min_length(lg, cur_len, cfg)
+        y = jnp.argmax(lg, axis=-1).astype(jnp.int32).reshape(B, gamma + 1)
+        acc = jnp.sum(
+            jnp.cumprod((draft == y[:, :gamma]).astype(jnp.int32), axis=1), axis=1
+        )  # [B] leading accepted drafts
+        emit_n = acc + 1
+        emitted = steps_v[None] < emit_n[:, None]
+        is_eos = (y == cfg.eos_token_id) & emitted
+        has_eos = is_eos.any(axis=1)
+        emit_n = jnp.where(has_eos, jnp.argmax(is_eos, axis=1) + 1, emit_n)
+        # frozen slots: finished, or pointer about to walk off the buffer (the
+        # host retires over-budget slots at the next sync; admission bounds
+        # prompt+budget <= max_len so freezing implies budget already served)
+        frozen = done | (old_len + gamma + 1 > max_rows)
+        emit_n = jnp.where(frozen, 0, emit_n)
+        window = jnp.where(steps_v[None] < emit_n[:, None], y, cfg.pad_token_id)
+        cache2 = cache2._replace(length=jnp.where(frozen, old_len, old_len + emit_n))
+        nxt = jnp.take_along_axis(window, jnp.maximum(emit_n - 1, 0)[:, None], axis=1)[:, 0]
+        nxt = jnp.where(frozen, tok, nxt)
+        new_done = done | (~frozen & has_eos)
+        hist = jax.vmap(
+            lambda h, w, hl: jax.lax.dynamic_update_slice(h, w, (hl,))
+        )(hist, window, hist_len)
+        hist_len = hist_len + emit_n
+        return (cache2, nxt, new_done, hist, hist_len), (window, emit_n)
+
+    (cache, tok, done, hist, hist_len), (wins, emits) = jax.lax.scan(
+        step, (cache, last_tok, done, hist, hist_len), None, length=num_steps
+    )
+    return wins, emits, cache, tok, done, hist, hist_len
+
+
 def _llm_prefill(
     decoder: LlamaDecoder,
     params: PyTree,
@@ -194,6 +272,13 @@ class ContinuousBatchingEngine:
     compiled decode program); per-request knobs are prompt, media, and
     ``max_new_tokens``. ``max_len`` bounds prompt+output per slot — admission
     rejects requests that cannot fit.
+
+    ``speculative_gamma > 0`` (greedy only) turns every decode step into a
+    batched prompt-lookup speculative verify: each slot drafts gamma tokens
+    from its OWN history and one ``[B, gamma+1]`` forward verifies all of
+    them — per-slot acceptance advances per-slot cache pointers
+    independently, so one slot's cold streak never stalls another's hot one
+    (``stats.tokens_per_step`` reports the realized speedup).
     """
 
     def __init__(
@@ -206,11 +291,15 @@ class ContinuousBatchingEngine:
         steps_per_sync: int = 8,
         config: GenerationConfig = GenerationConfig(),
         length_bucket: int = 64,
-        prefill_fn: Optional[Callable[[Request], Tuple[Tuple[Array, ...], Array, Array]]] = None,
+        prefill_fn: Optional[Callable[[Request], Tuple]] = None,
         rng: Optional[Array] = None,
+        speculative_gamma: int = 0,
+        speculative_ngram: int = 2,
     ) -> None:
         if config.kv_cache_dtype not in (None, "int8"):
             raise ValueError(f"unsupported kv_cache_dtype {config.kv_cache_dtype!r}")
+        if speculative_gamma > 0 and config.do_sample:
+            raise ValueError("speculative decoding is greedy-only (do_sample=False)")
         self.decoder = decoder
         self.llm_params = llm_params
         self.num_slots = slots
@@ -218,6 +307,8 @@ class ContinuousBatchingEngine:
         self.steps_per_sync = steps_per_sync
         self.config = config
         self.length_bucket = length_bucket
+        self.spec_gamma = speculative_gamma
+        self.spec_ngram = speculative_ngram
         self._prefill_request = prefill_fn or self._default_prefill
         # one jit wrapper for the engine's lifetime: its compilation cache is
         # per-wrapper, so re-wrapping per request would retrace every prefill
@@ -225,9 +316,17 @@ class ContinuousBatchingEngine:
         self._rng = jax.random.PRNGKey(0) if rng is None else rng
 
         cache_dtype = jnp.int8 if config.kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
-        cache = KVCache.create(decoder.cfg, slots, max_len, dtype=cache_dtype)
+        # gamma+1 spare rows: a live slot's pointer may advance up to gamma+1
+        # past its last in-budget token before the host syncs; the freeze
+        # guard in _decode_chunk_spec only fires past max_len
+        rows = max_len + (speculative_gamma + 1 if speculative_gamma else 0)
+        cache = KVCache.create(decoder.cfg, slots, rows, dtype=cache_dtype)
         self._cache = cache._replace(length=jnp.zeros((slots,), jnp.int32))
         self._last_tok = jnp.full((slots,), config.pad_token_id, jnp.int32)
+        if speculative_gamma:
+            hc = max_len + 2 * speculative_gamma + speculative_ngram + 8
+            self._hist = jnp.full((slots, hc), config.pad_token_id, jnp.int32)
+            self._hist_len = jnp.zeros((slots,), jnp.int32)
         self._slots = [_Slot() for _ in range(slots)]
         self._queue: deque[Request] = deque()
         self._results: Dict[str, RequestResult] = {}
@@ -270,17 +369,25 @@ class ContinuousBatchingEngine:
         mask[0, : len(ids)] = 1
         if Tb not in self.stats.prefill_buckets:
             self.stats.prefill_buckets.append(Tb)
-        return self._jit_prefill(
+        small, first, n_valid = self._jit_prefill(
             self.decoder, self.llm_params, self.config,
             jnp.asarray(padded), jnp.asarray(mask), self._next_key(),
         )
+        return small, first, n_valid, ids  # ids = speculative draft corpus
 
     def _admit(self) -> None:
         for slot_idx, slot in enumerate(self._slots):
             if slot.request is not None or not self._queue:
                 continue
             req = self._queue.popleft()
-            small, first, n_valid = self._prefill_request(req)
+            out = self._prefill_request(req)
+            small, first, n_valid = out[:3]
+            lookup = out[3] if len(out) > 3 else None
+            if self.spec_gamma and lookup is None:
+                raise ValueError(
+                    "speculative mode needs the prefill fn to return the prompt "
+                    "token ids as a 4th element (the draft corpus)"
+                )
             self.stats.prefills += 1
             n = int(n_valid[0])
             if n + req.max_new_tokens > self.max_len:
@@ -296,17 +403,44 @@ class ContinuousBatchingEngine:
                 self._cache, self._last_tok,
                 small, jnp.int32(slot_idx), n_valid[0], first[0],
             )
+            if self.spec_gamma:
+                hc = self._hist.shape[1]
+                row = np.full((hc,), self.config.pad_token_id, np.int32)
+                lk = np.asarray(lookup, np.int32).reshape(-1)[: hc - 1]
+                row[: len(lk)] = lk
+                row[len(lk)] = first_i
+                self._hist = self._hist.at[slot_idx].set(jnp.asarray(row))
+                self._hist_len = self._hist_len.at[slot_idx].set(len(lk) + 1)
             slot.request = req
             slot.emitted = [first_i]
             slot.done = False
 
     def _decode_one_chunk(self) -> None:
         done_in = jnp.asarray([s.done for s in self._slots])
-        toks, self._cache, self._last_tok, _ = _decode_chunk(
-            self.decoder, self.llm_params, self._cache, self._last_tok,
-            done_in, self.config, self.steps_per_sync, self._next_key(),
-        )
-        toks = np.asarray(toks)  # [K, B] — the one host sync per chunk
+        if self.spec_gamma:
+            wins, emits, self._cache, self._last_tok, _, self._hist, self._hist_len = (
+                _decode_chunk_spec(
+                    self.decoder, self.llm_params, self._cache, self._last_tok,
+                    done_in, self.config, self.steps_per_sync,
+                    self.spec_gamma, self.spec_ngram, self._hist, self._hist_len,
+                )
+            )
+            # [K, B, gamma+1] windows + [K, B] counts — one host sync per chunk
+            wins, emits = np.asarray(wins), np.asarray(emits)
+            step_tokens = [
+                [wins[k, b, : emits[k, b]] for b in range(self.num_slots)]
+                for k in range(self.steps_per_sync)
+            ]
+        else:
+            toks, self._cache, self._last_tok, _ = _decode_chunk(
+                self.decoder, self.llm_params, self._cache, self._last_tok,
+                done_in, self.config, self.steps_per_sync, self._next_key(),
+            )
+            toks = np.asarray(toks)  # [K, B] — the one host sync per chunk
+            step_tokens = [
+                [toks[k, b : b + 1] for b in range(self.num_slots)]
+                for k in range(self.steps_per_sync)
+            ]
         self.stats.decode_chunks += 1
         self.stats.decode_steps += self.steps_per_sync
         for slot_idx, slot in enumerate(self._slots):
@@ -314,16 +448,25 @@ class ContinuousBatchingEngine:
                 self.stats.slot_steps_idle += self.steps_per_sync
                 continue
             req = slot.request
-            consumed = 0
-            for t in toks[:, slot_idx]:
+            active_steps = 0
+            for k in range(self.steps_per_sync):
                 if slot.done or len(slot.emitted) >= req.max_new_tokens:
                     break
-                consumed += 1
-                slot.emitted.append(int(t))
-                if int(t) == self.config.eos_token_id:
-                    slot.done = True
-            self.stats.slot_steps_active += consumed
-            self.stats.slot_steps_idle += self.steps_per_sync - consumed
+                consumed_k = 0
+                for t in step_tokens[k][slot_idx]:
+                    if slot.done or len(slot.emitted) >= req.max_new_tokens:
+                        break
+                    consumed_k += 1
+                    slot.emitted.append(int(t))
+                    if int(t) == self.config.eos_token_id:
+                        slot.done = True
+                if consumed_k:
+                    active_steps += 1
+                    if self.spec_gamma:
+                        self.stats.spec_steps += 1
+                        self.stats.spec_emitted += consumed_k
+            self.stats.slot_steps_active += active_steps
+            self.stats.slot_steps_idle += self.steps_per_sync - active_steps
             if slot.done or len(slot.emitted) >= req.max_new_tokens:
                 self._finish(req, slot.emitted, "eos" if slot.done else "budget")
                 slot.request, slot.emitted, slot.done = None, [], True
@@ -378,7 +521,9 @@ class ContinuousBatchingEngine:
             if fn is None:
                 fn = jitted[key] = jax.jit(mm_prefill)
                 engine.stats.prefill_buckets.append(ids.shape[1])
-            return fn(params, ids, mask, vids, is_mm, engine._next_key())
+            small, first, n_valid = fn(params, ids, mask, vids, is_mm, engine._next_key())
+            lookup = np.asarray(ids)[0][: int(np.asarray(mask).sum())]
+            return small, first, n_valid, lookup  # text ids = draft corpus
 
         engine._prefill_request = prefill_request
         return engine

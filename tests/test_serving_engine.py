@@ -286,3 +286,129 @@ def test_engine_for_vidlm_matches_generate_ids():
     )
     for i, ref in enumerate(refs):
         assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+
+
+# ---------------------------------------------------------------------------
+# batched speculative decoding (per-slot drafts, one [B, gamma+1] verify)
+# ---------------------------------------------------------------------------
+
+
+def test_engine_speculative_matches_generate(decoder_and_params):
+    """Speculative engine == plain generate(), token for token, across slot
+    reuse and heterogeneous prompts — per-slot acceptance is lossless."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=10, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 3, 9, 2, 7], seed=4)
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=3, config=gcfg,
+        length_bucket=4, speculative_gamma=3,
+    )
+    results = eng.run(
+        [Request(f"r{i}", input_ids=p, max_new_tokens=10) for i, p in enumerate(prompts)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    assert eng.stats.spec_steps > 0
+    assert eng.stats.tokens_per_step >= 1.0
+
+
+def test_engine_speculative_repetitive_accepts(decoder_and_params):
+    """Cyclic generation (this seed's greedy output enters a period-19 cycle):
+    once the history repeats, drafts must actually accept (tokens_per_step >
+    1) while staying exact — the per-slot pointer-rollback stress."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=30, eos_token_id=1, pad_token_id=0)
+    prompts = [
+        np.array([5, 6, 7, 8, 5, 6, 7, 8, 5, 6], np.int32),
+        np.array([11, 12, 11, 12, 11, 12, 11], np.int32),
+    ]
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=48, steps_per_sync=4, config=gcfg,
+        length_bucket=4, speculative_gamma=4,
+    )
+    results = eng.run(
+        [Request(f"r{i}", input_ids=p, max_new_tokens=30) for i, p in enumerate(prompts)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    assert eng.stats.tokens_per_step > 1.0, eng.stats
+
+
+def test_engine_speculative_int8_kv(decoder_and_params):
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0,
+                            kv_cache_dtype="int8")
+    prompts = _prompts([6, 4], seed=9)
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=2, config=gcfg,
+        length_bucket=4, speculative_gamma=2,
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+
+
+def test_engine_speculative_budget_freeze(decoder_and_params):
+    """A prompt sized so prompt+budget == max_len: the freeze guard must keep
+    the pointer inside the (max_len + gamma + 1)-row buffer while the full
+    budget is still served exactly."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=12, eos_token_id=1, pad_token_id=0)
+    p = _prompts([8], seed=11)[0]
+    ref = _reference_rows(dec, params, [p], gcfg)[0]
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=1, max_len=20, steps_per_sync=5, config=gcfg,
+        length_bucket=4, speculative_gamma=3,
+    )
+    results = eng.run([Request("r0", input_ids=p, max_new_tokens=12)])
+    assert np.array_equal(results["r0"].token_ids, ref)
+    assert int(np.asarray(eng._cache.length)[0]) <= eng._cache.k.shape[3]
+
+
+def test_engine_speculative_rejects_sampling(decoder_and_params):
+    dec, params = decoder_and_params
+    with pytest.raises(ValueError, match="greedy-only"):
+        ContinuousBatchingEngine(
+            dec, params, slots=1, max_len=16,
+            config=GenerationConfig(max_new_tokens=4, do_sample=True),
+            speculative_gamma=2,
+        )
+
+
+def test_engine_for_vidlm_speculative():
+    """Full multimodal continuous batching WITH batched speculation: output ==
+    per-request generate_ids; text prompt ids seed each slot's draft corpus."""
+    from tests.test_merv_vidlm import _make_merv
+
+    m = _make_merv()
+    params = m.init(KEY)
+    videos = [
+        (np.random.RandomState(5).rand(4, 32, 32, 3) * 255).astype(np.uint8),
+        None,
+    ]
+    prompts = ["In: a?\nOut: ", "In: what is happening?\nOut: "]
+    stop = m.llm_backbone.stop_token_id
+    gcfg = GenerationConfig(max_new_tokens=5, eos_token_id=stop, pad_token_id=0)
+
+    refs = []
+    for vid, prompt in zip(videos, prompts):
+        ids, mask, vids, is_mm = m._prepare_batch_inputs([vid], [prompt], length_bucket=8)
+        out = m.generate_ids(
+            params, jnp.asarray(ids), jnp.asarray(mask), vids,
+            is_multimodal=jnp.asarray(is_mm), max_new_tokens=5,
+        )
+        refs.append(np.asarray(out[0]))
+
+    eng = ContinuousBatchingEngine.for_vidlm(
+        m, params, slots=2, max_len=128, steps_per_sync=2, config=gcfg,
+        length_bucket=8, speculative_gamma=2,
+    )
+    results = eng.run(
+        [Request(f"r{i}", prompt_text=p, video=v, max_new_tokens=5)
+         for i, (p, v) in enumerate(zip(prompts, videos))]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
