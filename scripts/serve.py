@@ -1,0 +1,139 @@
+"""Offline batch serving CLI: continuous batching over a request file.
+
+The reference has no serving entry point at all — its inference story is the
+bs=1 ``scripts/generate.py``-style REPL via HF generate (reference
+``merv/models/vidlms/merv.py:779-830``). This driver serves a JSONL of
+requests through the continuous-batching engine (per-slot KV pointers, one
+compiled decode program) with optional batched speculative decoding, and
+writes a results JSONL.
+
+Request file: one JSON object per line:
+    {"request_id": "q1", "prompt": "In: what happens?\\nOut: ",
+     "video": "path/to/clip.mp4",        # optional; null/absent = text-only
+     "max_new_tokens": 128}               # optional, default --max_new_tokens
+
+Usage:
+    python scripts/serve.py --model_path runs/<run-id> --requests reqs.jsonl \
+        --output out.jsonl --slots 4 --quantize_llm true [--speculative 4]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Union
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from merv_tpu.util.cache import enable_compile_cache
+
+enable_compile_cache()
+
+import merv_tpu.conf.registry as draccus
+from merv_tpu.models.generation import GenerationConfig
+from merv_tpu.models.load_vid import load_vid
+from merv_tpu.overwatch import initialize_overwatch
+from merv_tpu.serving import ContinuousBatchingEngine, Request
+
+overwatch = initialize_overwatch(__name__)
+
+
+@dataclass
+class ServeConfig:
+    # fmt: off
+    model_path: Union[str, Path] = "merv-full"
+    requests: Path = Path("requests.jsonl")
+    output: Path = Path("serve_results.jsonl")
+
+    slots: int = 4                       # concurrent decode slots
+    max_len: int = 4096                  # per-slot prompt+output bound
+    steps_per_sync: int = 8              # decode steps between host syncs
+    max_new_tokens: int = 128            # default per-request budget
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_p: float = 1.0
+    min_length: int = 1
+
+    quantize_llm: bool = False           # weight-only int8 LLM (fits 7B on one v5e)
+    int8_kv: bool = False                # int8 KV cache
+    speculative: int = 0                 # batched prompt-lookup speculation: draft length gamma
+    speculative_ngram: int = 2
+    allow_random_weights: bool = False   # structure/throughput testing ONLY
+    # fmt: on
+
+
+@draccus.wrap()
+def serve(cfg: ServeConfig) -> None:
+    if cfg.speculative > 0 and cfg.do_sample:
+        raise ValueError("--speculative requires greedy decoding (do_sample=false)")
+
+    local_run = Path("runs") / str(cfg.model_path)
+    src = str(local_run) if local_run.exists() else str(cfg.model_path)
+    vidlm, params = load_vid(
+        src, allow_random_weights=cfg.allow_random_weights, quantize_llm=cfg.quantize_llm
+    )
+
+    gcfg = GenerationConfig(
+        max_new_tokens=cfg.max_new_tokens, do_sample=cfg.do_sample,
+        temperature=cfg.temperature, top_p=cfg.top_p, min_length=cfg.min_length,
+        eos_token_id=vidlm.llm_backbone.stop_token_id,
+        pad_token_id=vidlm.llm_backbone.pad_token_id,
+        kv_cache_dtype="int8" if cfg.int8_kv else None,
+    )
+    engine = ContinuousBatchingEngine.for_vidlm(
+        vidlm, params, slots=cfg.slots, max_len=cfg.max_len,
+        steps_per_sync=cfg.steps_per_sync, config=gcfg,
+        speculative_gamma=cfg.speculative, speculative_ngram=cfg.speculative_ngram,
+    )
+
+    n = 0
+    with open(cfg.requests) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            engine.submit(Request(
+                request_id=str(r.get("request_id", n)),
+                prompt_text=r["prompt"],
+                video=r.get("video"),
+                max_new_tokens=int(r.get("max_new_tokens", cfg.max_new_tokens)),
+            ))
+            n += 1
+    overwatch.info(f"Serving {n} requests on {cfg.slots} slots")
+
+    t0 = time.perf_counter()
+    results = engine.run()
+    wall = time.perf_counter() - t0
+
+    tok = vidlm.llm_backbone.tokenizer
+    stop = vidlm.llm_backbone.stop_token_id
+    total_tokens = 0
+    with open(cfg.output, "w") as f:
+        for rid, res in results.items():
+            ids = res.token_ids.tolist()
+            if stop in ids:
+                ids = ids[: ids.index(stop)]
+            total_tokens += len(ids)
+            f.write(json.dumps({
+                "request_id": rid,
+                "text": tok.decode(ids, skip_special_tokens=True).strip(),
+                "finish_reason": res.finish_reason,
+                "num_tokens": len(ids),
+            }) + "\n")
+
+    s = engine.stats
+    overwatch.info(
+        f"Served {n} requests in {wall:.1f}s ({total_tokens / wall:.1f} tok/s) — "
+        f"slot utilization {s.slot_utilization:.1%}, {s.prefills} prefills, "
+        f"{s.decode_chunks} chunks"
+        + (f", {s.tokens_per_step:.2f} tokens/verify-step" if cfg.speculative else "")
+    )
+    overwatch.info(f"Results -> {cfg.output}")
+
+
+if __name__ == "__main__":
+    serve()

@@ -366,3 +366,50 @@ def test_serving_compiles_bounded_program_set(tmp_path):
     sizes = [fn._cache_size() for fn in gen_fns if hasattr(fn, "_cache_size")]
     if sizes:  # jax-version-dependent introspection; shape set must be 1
         assert sizes[0] == 1, sizes
+
+
+def test_serve_cli_end_to_end(tmp_path, monkeypatch):
+    """scripts/serve.py: JSONL requests -> continuous-batching engine ->
+    JSONL results, mixed multimodal/text-only, with batched speculation.
+    Outputs must match the plain generate() path (the engine parity contract
+    holds through the CLI)."""
+    import imageio.v3 as iio
+
+    from scripts.serve import ServeConfig, serve
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    video_path = tmp_path / "clip.gif"
+    frames = (np.random.RandomState(0).rand(6, 48, 48, 3) * 255).astype(np.uint8)
+    iio.imwrite(video_path, frames, extension=".gif")
+
+    reqs = tmp_path / "requests.jsonl"
+    with open(reqs, "w") as f:
+        f.write(json.dumps({"request_id": "v1", "prompt": "In: what?\nOut: ",
+                            "video": str(video_path), "max_new_tokens": 4}) + "\n")
+        f.write(json.dumps({"request_id": "t1", "prompt": "In: text only?\nOut: "}) + "\n")
+
+    out = tmp_path / "results.jsonl"
+    cfg = ServeConfig(
+        model_path=str(run_dir), requests=reqs, output=out,
+        slots=2, max_len=128, steps_per_sync=2, max_new_tokens=4,
+        speculative=2, allow_random_weights=True,
+    )
+    serve(cfg=cfg)
+
+    rows = {json.loads(l)["request_id"]: json.loads(l) for l in open(out)}
+    assert set(rows) == {"v1", "t1"}
+    for r in rows.values():
+        assert r["finish_reason"] in ("eos", "budget") and isinstance(r["text"], str)
+
+    # CLI output == the plain single-request path (engine + speculation lossless)
+    vidlm, params, model_cfg = load_vid_mod.load_vid(
+        str(run_dir), get_model_cfg=True, allow_random_weights=True
+    )
+    plain_v = vidlm.generate(params, str(video_path), "In: what?\nOut: ",
+                             num_frames=model_cfg.num_frames, max_new_tokens=4)
+    plain_t = vidlm.generate(params, None, "In: text only?\nOut: ",
+                             num_frames=model_cfg.num_frames, max_new_tokens=4)
+    assert rows["v1"]["text"] == plain_v
+    assert rows["t1"]["text"] == plain_t
