@@ -295,6 +295,7 @@ class ContinuousBatchingEngine:
         rng: Optional[Array] = None,
         speculative_gamma: int = 0,
         speculative_ngram: int = 2,
+        mesh: Optional[Any] = None,
     ) -> None:
         if config.kv_cache_dtype not in (None, "int8"):
             raise ValueError(f"unsupported kv_cache_dtype {config.kv_cache_dtype!r}")
@@ -321,12 +322,49 @@ class ContinuousBatchingEngine:
         # guard in _decode_chunk_spec only fires past max_len
         rows = max_len + (speculative_gamma + 1 if speculative_gamma else 0)
         cache = KVCache.create(decoder.cfg, slots, rows, dtype=cache_dtype)
+        cache_gb = sum(b.size * b.dtype.itemsize for b in (cache.k, cache.v)) / 1e9
+        overwatch.info(
+            f"engine KV cache: {slots} slots x {rows} rows = {cache_gb:.2f} GB HBM "
+            f"({jnp.dtype(cache_dtype).name})"
+            + ("" if cache_gb < 6 else " — consider kv_cache_dtype='int8', fewer "
+               "slots, or a smaller max_len beside full-depth weights")
+        )
         self._cache = cache._replace(length=jnp.zeros((slots,), jnp.int32))
         self._last_tok = jnp.full((slots,), config.pad_token_id, jnp.int32)
         if speculative_gamma:
             hc = max_len + 2 * speculative_gamma + speculative_ngram + 8
             self._hist = jnp.full((slots, hc), config.pad_token_id, jnp.int32)
             self._hist_len = jnp.zeros((slots,), jnp.int32)
+        if mesh is not None:
+            # tensor-parallel serving: params carry Megatron head splits
+            # (load_vid(mesh=...)), so the cache's kv-head dim shards the same
+            # way — decode attention then never re-gathers heads. Everything
+            # else (pointers, tokens, history) replicates.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from merv_tpu.parallel.mesh import TENSOR_AXIS
+
+            tp = dict(mesh.shape).get(TENSOR_AXIS, 1)
+            heads = (
+                P(None, None, TENSOR_AXIS, None, None)
+                if tp > 1 and decoder.cfg.num_kv_heads % tp == 0
+                else P()
+            )
+            hshard = NamedSharding(mesh, heads)
+            repl = NamedSharding(mesh, P())
+
+            def place(x, s):
+                return None if x is None else jax.device_put(x, s)
+
+            self._cache = KVCache(
+                place(self._cache.k, hshard), place(self._cache.v, hshard),
+                place(self._cache.length, repl),
+                place(self._cache.k_scale, hshard), place(self._cache.v_scale, hshard),
+            )
+            self._last_tok = jax.device_put(self._last_tok, repl)
+            if speculative_gamma:
+                self._hist = jax.device_put(self._hist, repl)
+                self._hist_len = jax.device_put(self._hist_len, repl)
         self._slots = [_Slot() for _ in range(slots)]
         self._queue: deque[Request] = deque()
         self._results: Dict[str, RequestResult] = {}

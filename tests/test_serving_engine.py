@@ -412,3 +412,41 @@ def test_engine_for_vidlm_speculative():
     )
     for i, ref in enumerate(refs):
         assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+
+
+def test_engine_under_tensor_parallel_mesh(decoder_and_params):
+    """Continuous batching under TP serving: Megatron-split params + a
+    kv-head-sharded slot cache on a tensor=2 mesh, outputs identical to the
+    single-device engine (multi-chip continuous batching)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from merv_tpu.parallel import MeshConfig, build_mesh, llm_tensor_parallel_rules
+    from merv_tpu.parallel.sharding import path_str
+
+    dec, params = decoder_and_params
+    mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=2))
+    rules = llm_tensor_parallel_rules()
+
+    def _spec(path, leaf):
+        s = rules.spec_for(path_str(path), leaf)
+        return NamedSharding(mesh, s if s is not None else P())
+
+    tp_params = jax.device_put(
+        params, jax.tree_util.tree_map_with_path(_spec, params)
+    )
+
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 3, 9], seed=6)
+    refs = _reference_rows(dec, params, prompts, gcfg)
+
+    for gamma in (0, 2):
+        eng = ContinuousBatchingEngine(
+            dec, tp_params, slots=2, max_len=32, steps_per_sync=3, config=gcfg,
+            length_bucket=4, mesh=mesh, speculative_gamma=gamma,
+        )
+        assert not eng._cache.k.sharding.is_fully_replicated  # kv heads sharded
+        results = eng.run(
+            [Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)]
+        )
+        for i, ref in enumerate(refs):
+            assert np.array_equal(results[f"r{i}"].token_ids, ref), (gamma, i)
