@@ -47,24 +47,31 @@ class GenerationConfig:
     kv_cache_dtype: Optional[str] = None
 
 
-def _sample_token(logits: Array, key: Array, cfg: GenerationConfig) -> Array:
-    """logits: [B, V] -> [B] int32."""
-    if not cfg.do_sample:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def _filter_logits(logits: Array, cfg: GenerationConfig) -> Array:
+    """Temperature + top-k + top-p filtering: [.., V] -> [.., V] (-inf masked).
+    The categorical over the result IS the sampling distribution — speculative
+    rejection sampling needs it explicitly, so it lives apart from the draw."""
     logits = logits / jnp.maximum(cfg.temperature, 1e-6)
     if cfg.top_k > 0:
         k = min(cfg.top_k, logits.shape[-1])  # HF clamps top_k to vocab
-        kth = jax.lax.top_k(logits, k)[0][:, -1:]
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if cfg.top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # smallest set with cumulative prob >= top_p; mask the rest
         cutoff_idx = jnp.sum(cum < cfg.top_p, axis=-1, keepdims=True)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def _sample_token(logits: Array, key: Array, cfg: GenerationConfig) -> Array:
+    """logits: [B, V] -> [B] int32."""
+    if not cfg.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, _filter_logits(logits, cfg), axis=-1).astype(jnp.int32)
 
 
 def _ban_eos_below_min_length(logits: Array, cur_len: Array, cfg: GenerationConfig) -> Array:
@@ -219,6 +226,52 @@ def _ngram_propose(
     return jnp.where(best_found, draft, jnp.int32(pad_id))
 
 
+def _spec_accept(
+    probs: Array,  # [B, gamma+1, V] target sampling distributions (post-filter softmax)
+    draft: Array,  # [B, gamma] deterministic proposals
+    key: Array,
+    pad_id: int,
+) -> Tuple[Array, Array]:
+    """Rejection sampling against a DETERMINISTIC (delta) proposal
+    (Leviathan et al. speculative sampling, specialized to q = delta_d):
+    accept draft d_t with probability p_t(d_t); the first rejection emits a
+    sample from the residual (p_t with d_t removed, renormalized); full
+    acceptance emits a bonus sample from p_gamma. Every position emits
+    EXACTLY from p_t marginally — sampling speculation is distributionally
+    lossless (pinned by test_spec_accept_marginals).
+
+    Returns ([B, gamma+1] tokens padded past each row's count, [B] counts).
+    """
+    B, G1, _ = probs.shape
+    gamma = G1 - 1
+    keys = jax.random.split(key, 2 * gamma + 1)
+    bidx = jnp.arange(B)
+    alive = jnp.ones((B,), bool)
+    emit_n = jnp.zeros((B,), jnp.int32)
+    out = jnp.full((B, G1), pad_id, jnp.int32)
+    for t in range(gamma):
+        p_t = probs[:, t]
+        d_t = draft[:, t]
+        p_d = p_t[bidx, d_t]
+        u = jax.random.uniform(keys[2 * t], (B,))
+        accept = u < p_d
+        # residual: p with the draft's mass removed (q is a delta there), renorm
+        resid = p_t.at[bidx, d_t].set(0.0)
+        resid_tok = jax.random.categorical(
+            keys[2 * t + 1], jnp.log(resid + 1e-30), axis=-1
+        ).astype(jnp.int32)
+        tok_t = jnp.where(accept, d_t, resid_tok)
+        out = out.at[:, t].set(jnp.where(alive, tok_t, pad_id))
+        emit_n = emit_n + alive.astype(jnp.int32)
+        alive = alive & accept
+    bonus = jax.random.categorical(
+        keys[-1], jnp.log(probs[:, gamma] + 1e-30), axis=-1
+    ).astype(jnp.int32)
+    out = out.at[:, gamma].set(jnp.where(alive, bonus, pad_id))
+    emit_n = emit_n + alive.astype(jnp.int32)
+    return out, emit_n
+
+
 def generate_speculative(
     decoder: LlamaDecoder,
     params: PyTree,
@@ -231,9 +284,10 @@ def generate_speculative(
     config: GenerationConfig = GenerationConfig(),
     gamma: int = 4,
     ngram: int = 2,
+    rng: Optional[Array] = None,
     max_cache_len: Optional[int] = None,
 ) -> Array:
-    """Greedy generation with prompt-lookup speculative decoding — B=1.
+    """Generation with prompt-lookup speculative decoding — B=1.
 
     Decode at full depth is AT the HBM bandwidth bound (BASELINE.md: weights
     stream at 95% of measured bandwidth), so the only lever left is tokens
@@ -243,17 +297,19 @@ def generate_speculative(
     same weight bytes as a single-token step, so every accepted draft is a
     nearly-free extra token; rejected drafts cost nothing (their cache rows
     are overwritten in order by construction — same stale-row argument as the
-    serving engine's slot reuse). Output is token-for-token IDENTICAL to
-    ``generate``: speculation is lossless for greedy decoding.
+    serving engine's slot reuse).
+
+    Losslessness: greedy output is token-for-token IDENTICAL to ``generate``;
+    with ``do_sample`` the acceptance is Leviathan-style rejection sampling
+    against the delta proposal (:func:`_spec_accept`), so every emitted token
+    is marginally distributed exactly as the plain sampling path (different
+    rng stream, same distribution).
 
     The loop is one ``lax.while_loop`` whose body is the verify forward +
     O(Hc) bookkeeping — a single compiled program, no per-step host sync.
     The reference has no speculative path (HF bs=1 ``generate``,
     reference ``merv/models/vidlms/merv.py:779-830``).
     """
-    if config.do_sample:
-        raise ValueError("speculative decoding is greedy-only (lossless acceptance "
-                         "needs rejection sampling, not implemented)")
     if gamma < 1:
         raise ValueError(f"gamma must be >= 1, got {gamma}")
     if inputs_embeds is None:
@@ -292,8 +348,10 @@ def generate_speculative(
         params, inputs_embeds=inputs_embeds, attention_mask=attention_mask,
         positions=positions, kv_cache=cache, logits_indices=last_idx,
     )
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    k_first, k_loop = jax.random.split(rng)
     first_logits = _ban_eos_below_min_length(logits[:, 0].astype(jnp.float32), n_valid, config)
-    first = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)[0]
+    first = _sample_token(first_logits, k_first, config)[0]
 
     # draft corpus: valid prompt tokens are contiguous from 0 (right padding)
     lk = prompt_lookup_ids[0].astype(jnp.int32)
@@ -312,11 +370,12 @@ def generate_speculative(
     eos_vec = (jnp.arange(decoder.cfg.vocab_size) == eos_id)[None, :]
 
     def cond(c):
-        _, _, _, _, _, n_out, done, _ = c
+        _, _, _, _, _, n_out, done, _, _ = c
         return (~done) & (n_out < max_new)
 
     def body(c):
-        cache, hist, hist_len, last_tok, rope_pos, n_out, done, out_buf = c
+        cache, hist, hist_len, last_tok, rope_pos, n_out, done, out_buf, key = c
+        key, k_acc = jax.random.split(key)
         draft = _ngram_propose(hist, hist_len, gamma, ngram, pad_id)
         inputs = jnp.concatenate([last_tok[None], draft])[None]  # [1, gamma+1]
         pos = (rope_pos + steps_v)[None]
@@ -329,26 +388,29 @@ def generate_speculative(
         if config.min_length > 1:
             lg = jnp.where(((rope_pos + 1 + steps_v) < config.min_length)[:, None] & eos_vec,
                            -jnp.inf, lg)
-        y = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [gamma+1]
-        accepted = jnp.sum(jnp.cumprod((draft == y[:gamma]).astype(jnp.int32)))
-        emit_n = accepted + 1
-        emitted = steps_v < emit_n
-        is_eos = (y == eos_id) & emitted
+        if config.do_sample:
+            probs = jax.nn.softmax(_filter_logits(lg, config), axis=-1)
+            w_all, nat_emit = _spec_accept(probs[None], draft[None], k_acc, pad_id)
+            w_all, nat_emit = w_all[0], nat_emit[0]
+        else:
+            w_all = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [gamma+1]
+            nat_emit = jnp.sum(jnp.cumprod((draft == w_all[:gamma]).astype(jnp.int32))) + 1
+        is_eos = (w_all == eos_id) & (steps_v < nat_emit)
         has_eos = is_eos.any()
-        emit_n = jnp.where(has_eos, jnp.argmax(is_eos) + 1, emit_n)
-        window = jnp.where(steps_v < emit_n, y, pad_id)
+        emit_n = jnp.where(has_eos, jnp.argmax(is_eos) + 1, nat_emit)
+        window = jnp.where(steps_v < emit_n, w_all, pad_id)
         out_buf = jax.lax.dynamic_update_slice(out_buf, window, (n_out,))
         hist = jax.lax.dynamic_update_slice(hist, window, (hist_len,))
         # roll the write pointer back to the last ACCEPTED row; stale rows
         # beyond are overwritten in order before they become readable (next
         # step writes gamma+1 rows starting exactly at the new length)
         cache = cache._replace(length=old_len + emit_n)
-        last_tok = y[jnp.maximum(emit_n - 1, 0)]
+        last_tok = window[jnp.maximum(emit_n - 1, 0)]
         return (cache, hist, hist_len + emit_n, last_tok, rope_pos + emit_n,
-                n_out + emit_n, done | has_eos, out_buf)
+                n_out + emit_n, done | has_eos, out_buf, key)
 
     init = (cache, hist, hist_len, first, n_valid[0], jnp.int32(1),
-            first == eos_id, out_buf)
-    _, _, _, _, _, n_out, _, out_buf = jax.lax.while_loop(cond, body, init)
+            first == eos_id, out_buf, k_loop)
+    _, _, _, _, _, n_out, _, out_buf, _ = jax.lax.while_loop(cond, body, init)
     out = jnp.where(jnp.arange(max_new) < n_out, out_buf[:max_new], pad_id)
     return out[None]

@@ -444,8 +444,6 @@ class MERV(VidLM):
             eos_token_id=self.llm_backbone.stop_token_id, pad_token_id=self.llm_backbone.pad_token_id,
             kv_cache_dtype=kv_cache_dtype,
         )
-        if speculative_gamma > 0 and do_sample:
-            raise ValueError("speculative decoding is greedy-only (do_sample=False)")
         flags = (is_image is not None, is_multimodal is not None)
         cache = self.__dict__.setdefault("_serve_jit_cache", {})
         fn = cache.get(("generate", cfg, flags, mesh, speculative_gamma, speculative_ngram))
@@ -467,6 +465,7 @@ class MERV(VidLM):
                             inputs_embeds=embeds, attention_mask=mask.astype(jnp.int32),
                             prompt_lookup_ids=input_ids, lookup_mask=attention_mask,
                             config=cfg, gamma=speculative_gamma, ngram=speculative_ngram,
+                            rng=rng,
                         )
                     return _generate(
                         self.llm_backbone.decoder, params["llm_backbone"],

@@ -45,8 +45,10 @@ from merv_tpu.models.backbones.llm.transformer import KVCache, LlamaDecoder
 from merv_tpu.models.generation import (
     GenerationConfig,
     _ban_eos_below_min_length,
+    _filter_logits,
     _ngram_propose,
     _sample_token,
+    _spec_accept,
 )
 from merv_tpu.overwatch import initialize_overwatch
 
@@ -181,13 +183,17 @@ def _decode_chunk_spec(
     ngram: int,
     hist: Array,  # [B, Hc] per-slot token history (draft corpus)
     hist_len: Array,  # [B] int32
+    rng: Array,
 ) -> Tuple[Array, Array, KVCache, Array, Array, Array, Array]:
     """Batched speculative decode: every step drafts ``gamma`` tokens PER SLOT
     from that slot's own history (vmapped n-gram cascade) and verifies all
     slots' drafts in ONE ``[B, gamma+1]`` forward — the HBM-bound weight
-    stream is paid once for up to ``gamma+1`` tokens per slot. Greedy only;
-    per-slot acceptance rolls each row's write pointer back independently
-    (the per-slot multi-token cache path, ``transformer.py::_layer``).
+    stream is paid once for up to ``gamma+1`` tokens per slot. Per-slot
+    acceptance rolls each row's write pointer back independently (the
+    per-slot multi-token cache path, ``transformer.py::_layer``). Greedy
+    acceptance is exact-match; sampling acceptance is rejection sampling
+    (:func:`merv_tpu.models.generation._spec_accept`, distributionally
+    lossless).
 
     Returns ([num_steps, B, gamma+1] token windows, [num_steps, B] emit
     counts, cache, last token, done, hist, hist_len).
@@ -195,7 +201,7 @@ def _decode_chunk_spec(
     steps_v = jnp.arange(gamma + 1, dtype=jnp.int32)
     max_rows = cache.k.shape[3]
 
-    def step(carry, _):
+    def step(carry, key_t):
         cache, tok, done, hist, hist_len = carry
         draft = jax.vmap(
             lambda h, hl: _ngram_propose(h, hl, gamma, ngram, cfg.pad_token_id)
@@ -206,12 +212,16 @@ def _decode_chunk_spec(
         B, _, V = logits.shape
         lg = logits.astype(jnp.float32).reshape(B * (gamma + 1), V)
         cur_len = (old_len[:, None] + 1 + steps_v[None]).reshape(-1)
-        lg = _ban_eos_below_min_length(lg, cur_len, cfg)
-        y = jnp.argmax(lg, axis=-1).astype(jnp.int32).reshape(B, gamma + 1)
-        acc = jnp.sum(
-            jnp.cumprod((draft == y[:, :gamma]).astype(jnp.int32), axis=1), axis=1
-        )  # [B] leading accepted drafts
-        emit_n = acc + 1
+        lg = _ban_eos_below_min_length(lg, cur_len, cfg).reshape(B, gamma + 1, V)
+        if cfg.do_sample:
+            probs = jax.nn.softmax(_filter_logits(lg, cfg), axis=-1)
+            y, emit_n = _spec_accept(probs, draft, key_t, cfg.pad_token_id)
+        else:
+            y = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, gamma+1]
+            acc = jnp.sum(
+                jnp.cumprod((draft == y[:, :gamma]).astype(jnp.int32), axis=1), axis=1
+            )  # [B] leading accepted drafts
+            emit_n = acc + 1
         emitted = steps_v[None] < emit_n[:, None]
         is_eos = (y == cfg.eos_token_id) & emitted
         has_eos = is_eos.any(axis=1)
@@ -232,8 +242,9 @@ def _decode_chunk_spec(
         hist_len = hist_len + emit_n
         return (cache2, nxt, new_done, hist, hist_len), (window, emit_n)
 
+    keys = jax.random.split(rng, num_steps)
     (cache, tok, done, hist, hist_len), (wins, emits) = jax.lax.scan(
-        step, (cache, last_tok, done, hist, hist_len), None, length=num_steps
+        step, (cache, last_tok, done, hist, hist_len), keys
     )
     return wins, emits, cache, tok, done, hist, hist_len
 
@@ -299,8 +310,6 @@ class ContinuousBatchingEngine:
     ) -> None:
         if config.kv_cache_dtype not in (None, "int8"):
             raise ValueError(f"unsupported kv_cache_dtype {config.kv_cache_dtype!r}")
-        if speculative_gamma > 0 and config.do_sample:
-            raise ValueError("speculative decoding is greedy-only (do_sample=False)")
         self.decoder = decoder
         self.llm_params = llm_params
         self.num_slots = slots
@@ -461,6 +470,7 @@ class ContinuousBatchingEngine:
                     self.decoder, self.llm_params, self._cache, self._last_tok,
                     done_in, self.config, self.steps_per_sync,
                     self.spec_gamma, self.spec_ngram, self._hist, self._hist_len,
+                    self._next_key(),
                 )
             )
             # [K, B, gamma+1] windows + [K, B] counts — one host sync per chunk

@@ -61,17 +61,18 @@ class EvalConfig:
     int8_kv: bool = False                           # int8 KV cache (decode HBM bytes ~2x less; see BASELINE.md)
     mesh_seq: int = 1                               # sp-sharded KV cache over N chips (long-video serving)
     speculative: int = 0                            # prompt-lookup speculative decoding: draft length gamma
-    #                                               # (greedy + batch_size 1 only; lossless — same tokens, fewer
-    #                                               # HBM-bound decode steps; see SERVING.md)
+    #                                               # (batch_size 1 only; lossless — greedy: same tokens, sampling:
+    #                                               # same distribution; fewer HBM-bound decode steps; SERVING.md)
     # fmt: on
 
 
 @draccus.wrap()
 def evaluate(cfg: EvalConfig) -> None:
-    if cfg.speculative > 0 and (cfg.batch_size != 1 or cfg.do_sample):
+    if cfg.speculative > 0 and cfg.batch_size != 1:
         raise ValueError(
-            "--speculative requires --batch_size 1 and greedy decoding "
-            "(do_sample=false): acceptance desyncs rows of a shared batch"
+            "--speculative requires --batch_size 1: per-row acceptance counts "
+            "desync a shared batch cache (serve batched speculation through "
+            "the continuous-batching engine, scripts/serve.py)"
         )
     result_dir = Path(cfg.eval_result_root) / str(cfg.model_path)
     result_dir.mkdir(parents=True, exist_ok=True)

@@ -67,9 +67,6 @@ class ServeConfig:
 
 @draccus.wrap()
 def serve(cfg: ServeConfig) -> None:
-    if cfg.speculative > 0 and cfg.do_sample:
-        raise ValueError("--speculative requires greedy decoding (do_sample=false)")
-
     local_run = Path("runs") / str(cfg.model_path)
     src = str(local_run) if local_run.exists() else str(cfg.model_path)
     vidlm, params = load_vid(

@@ -368,14 +368,36 @@ def test_engine_speculative_budget_freeze(decoder_and_params):
     assert int(np.asarray(eng._cache.length)[0]) <= eng._cache.k.shape[3]
 
 
-def test_engine_speculative_rejects_sampling(decoder_and_params):
+def test_engine_speculative_sampling(decoder_and_params):
+    """Speculative engine with do_sample: rejection-sampling acceptance.
+    top_k=1 makes the sampling distribution an exact delta at the argmax, so
+    the output must equal the greedy reference deterministically (real
+    temperatures are distributionally lossless — the acceptance math is
+    pinned by test_spec_accept_marginals)."""
     dec, params = decoder_and_params
-    with pytest.raises(ValueError, match="greedy-only"):
-        ContinuousBatchingEngine(
-            dec, params, slots=1, max_len=16,
-            config=GenerationConfig(max_new_tokens=4, do_sample=True),
-            speculative_gamma=2,
-        )
+    greedy = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 3, 7], seed=12)
+    refs = _reference_rows(dec, params, prompts, greedy)
+    sharp = GenerationConfig(max_new_tokens=8, do_sample=True, top_k=1,
+                             eos_token_id=1, pad_token_id=0)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=3, config=sharp,
+        length_bucket=4, speculative_gamma=3,
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    # and a real-temperature run completes with valid tokens
+    eng2 = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=2,
+        config=GenerationConfig(max_new_tokens=5, do_sample=True, temperature=1.1,
+                                top_p=0.95, eos_token_id=1, pad_token_id=0),
+        length_bucket=4, speculative_gamma=2, rng=jax.random.PRNGKey(11),
+    )
+    res2 = eng2.run([Request(f"s{i}", input_ids=p, max_new_tokens=5) for i, p in enumerate(prompts)])
+    V = dec.cfg.vocab_size
+    for r in res2.values():
+        assert (r.token_ids >= 0).all() and (r.token_ids < V).all()
 
 
 def test_engine_for_vidlm_speculative():

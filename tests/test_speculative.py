@@ -97,19 +97,83 @@ def test_speculative_int8_kv(dp):
     assert np.array_equal(got, ref)
 
 
-def test_speculative_rejects_sampling_and_batch(dp):
+def test_speculative_rejects_batch(dp):
     dec, params = dp
-    ids = jnp.ones((1, 4), jnp.int32) * 5
-    with pytest.raises(ValueError, match="greedy-only"):
-        generate_speculative(
-            dec, params, input_ids=ids,
-            config=GenerationConfig(max_new_tokens=4, do_sample=True),
-        )
     with pytest.raises(ValueError, match="B=1"):
         generate_speculative(
             dec, params, input_ids=jnp.ones((2, 4), jnp.int32),
             config=GenerationConfig(max_new_tokens=4),
         )
+
+
+def test_spec_accept_marginals():
+    """Rejection sampling against a delta proposal must reproduce the target
+    distribution EXACTLY at every position — accepted-draft mass plus residual
+    resampling mass — whatever the draft is (the losslessness proof, checked
+    empirically on a tiny categorical)."""
+    from merv_tpu.models.generation import _spec_accept
+
+    V, gamma, N = 6, 2, 40000
+    rng = np.random.RandomState(0)
+    p = rng.dirichlet(np.ones(V), size=gamma + 1)  # target dists per position
+    probs = jnp.asarray(np.broadcast_to(p, (N, gamma + 1, V)), jnp.float32)
+    # draft position 0 = the mode (high acceptance), position 1 = the least
+    # likely token (high rejection) — both must come out exact
+    draft = jnp.asarray(
+        np.broadcast_to([int(p[0].argmax()), int(p[1].argmin())], (N, gamma)), jnp.int32
+    )
+    toks, emit_n = _spec_accept(probs, draft, jax.random.PRNGKey(1), pad_id=-1)
+    toks, emit_n = np.asarray(toks), np.asarray(emit_n)
+
+    # position 0 always emits; its marginal must be p[0]
+    freq0 = np.bincount(toks[:, 0], minlength=V) / N
+    np.testing.assert_allclose(freq0, p[0], atol=0.015)
+    # position 1 emits only when draft 0 accepted; CONDITIONAL marginal = p[1]
+    m1 = emit_n >= 2
+    assert 0.2 < m1.mean() < 1.0  # the mode draft accepts often but not always
+    freq1 = np.bincount(toks[m1, 1], minlength=V) / m1.sum()
+    np.testing.assert_allclose(freq1, p[1], atol=0.02)
+    # emit counts: 1 + accepted(+bonus); acceptance rate of the mode draft ~= p0(mode)
+    np.testing.assert_allclose(m1.mean(), p[0].max(), atol=0.015)
+
+
+def test_speculative_sampling_greedy_limit(dp):
+    """do_sample with top_k=1 makes the filtered distribution an EXACT delta
+    at the argmax: speculative sampling must then reproduce the greedy output
+    exactly — a deterministic end-to-end check of the sampling plumbing
+    (acceptance probability p(argmax)=1, the residual branch unreachable, the
+    bonus sample the argmax; the rejection-sampling MATH itself is pinned by
+    test_spec_accept_marginals). A near-zero TEMPERATURE would not work:
+    logits within ~1e-4 of the max keep real mass and the sampler would
+    legitimately pick either — observed on this seed at position 9."""
+    dec, params = dp
+    for seed, n in [(8, 5), (9, 11)]:
+        ids = np.random.RandomState(seed).randint(4, 30, (1, n)).astype(np.int32)
+        greedy = GenerationConfig(max_new_tokens=10, eos_token_id=1, pad_token_id=0)
+        ref = _ref(dec, params, ids, greedy)
+        sharp = GenerationConfig(max_new_tokens=10, do_sample=True, top_k=1,
+                                 eos_token_id=1, pad_token_id=0)
+        for gamma in (2, 4):
+            got = np.asarray(generate_speculative(
+                dec, params, input_ids=jnp.asarray(ids), config=sharp,
+                gamma=gamma, rng=jax.random.PRNGKey(3),
+            )[0])
+            assert np.array_equal(got, ref), (seed, gamma)
+
+
+def test_speculative_sampling_runs_and_valid(dp):
+    """Real-temperature sampling through the speculative path: valid tokens,
+    correct shapes, runs to budget or EOS."""
+    dec, params = dp
+    ids = np.random.RandomState(8).randint(4, 30, (1, 5)).astype(np.int32)
+    gcfg = GenerationConfig(max_new_tokens=6, do_sample=True, temperature=1.2,
+                            top_p=0.95, eos_token_id=1, pad_token_id=0)
+    out = np.asarray(generate_speculative(
+        dec, params, input_ids=jnp.asarray(ids), config=gcfg, gamma=3,
+        rng=jax.random.PRNGKey(5),
+    )[0])
+    V = dec.cfg.vocab_size
+    assert out.shape == (6,) and (out >= 0).all() and (out < V).all()
 
 
 def test_ngram_propose_finds_most_recent():
