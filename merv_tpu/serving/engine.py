@@ -88,6 +88,7 @@ class EngineStats:
     prefill_buckets: List[int] = field(default_factory=list)
     spec_steps: int = 0  # verify forwards executed for live slots (speculative mode)
     spec_emitted: int = 0  # tokens those forwards produced (>= spec_steps)
+    prefetch_hits: int = 0  # admissions whose host prep overlapped a decode chunk
 
     @property
     def slot_utilization(self) -> float:
@@ -284,12 +285,18 @@ class ContinuousBatchingEngine:
     ``max_new_tokens``. ``max_len`` bounds prompt+output per slot — admission
     rejects requests that cannot fit.
 
-    ``speculative_gamma > 0`` (greedy only) turns every decode step into a
-    batched prompt-lookup speculative verify: each slot drafts gamma tokens
-    from its OWN history and one ``[B, gamma+1]`` forward verifies all of
-    them — per-slot acceptance advances per-slot cache pointers
-    independently, so one slot's cold streak never stalls another's hot one
-    (``stats.tokens_per_step`` reports the realized speedup).
+    ``speculative_gamma > 0`` turns every decode step into a batched
+    prompt-lookup speculative verify: each slot drafts gamma tokens from its
+    OWN history and one ``[B, gamma+1]`` forward verifies all of them —
+    per-slot acceptance advances per-slot cache pointers independently, so
+    one slot's cold streak never stalls another's hot one
+    (``stats.tokens_per_step`` reports the realized speedup). Greedy
+    acceptance is exact-match; sampling uses rejection acceptance
+    (distributionally lossless).
+
+    Host-side request preparation (video decode + tokenization) for the head
+    of the queue overlaps the decode chunk the device is already running
+    (``_start_prefetch``) — admission then only pays the device prefill.
     """
 
     def __init__(
@@ -319,7 +326,24 @@ class ContinuousBatchingEngine:
         self.length_bucket = length_bucket
         self.spec_gamma = speculative_gamma
         self.spec_ngram = speculative_ngram
-        self._prefill_request = prefill_fn or self._default_prefill
+        if prefill_fn is not None:
+            import inspect
+
+            if len(inspect.signature(prefill_fn).parameters) == 1:
+                # legacy single-arg prefill fns: no prepared-payload support
+                self._prefill_request = lambda req, prepared=None: prefill_fn(req)
+            else:
+                self._prefill_request = prefill_fn
+        else:
+            self._prefill_request = self._default_prefill
+        # host-side preparation hook (video decode / tokenization) that the
+        # prefetcher runs while the device decodes a chunk. Custom prefill_fns
+        # start with prefetch disabled — a frontend that supports it assigns
+        # its own prepare (see for_vidlm); payload formats are prefill-fn-local
+        self._prepare: Optional[Callable[[Request], Any]] = (
+            self._prepare_llm if prefill_fn is None else None
+        )
+        self._prefetched: Optional[Tuple[str, Any, Dict[str, Any]]] = None
         # one jit wrapper for the engine's lifetime: its compilation cache is
         # per-wrapper, so re-wrapping per request would retrace every prefill
         self._jit_prefill = jax.jit(_llm_prefill, static_argnums=(0, 2))
@@ -403,7 +427,8 @@ class ContinuousBatchingEngine:
         b = self.length_bucket
         return min(-(-n // b) * b, self.max_len) if b > 1 else n
 
-    def _default_prefill(self, req: Request):
+    def _prepare_llm(self, req: Request):
+        """Host-side request prep (pad/bucket) — prefetchable during decode."""
         if req.input_ids is None:
             raise ValueError("LLM-level engine requests need input_ids (tokenized prompt)")
         ids = np.asarray(req.input_ids, np.int32).reshape(-1)
@@ -414,20 +439,59 @@ class ContinuousBatchingEngine:
         mask = np.zeros((1, Tb), np.int32)
         padded[0, : len(ids)] = ids
         mask[0, : len(ids)] = 1
-        if Tb not in self.stats.prefill_buckets:
-            self.stats.prefill_buckets.append(Tb)
+        return padded, mask, ids
+
+    def _default_prefill(self, req: Request, prepared: Any = None):
+        padded, mask, ids = prepared if prepared is not None else self._prepare_llm(req)
+        if padded.shape[1] not in self.stats.prefill_buckets:
+            self.stats.prefill_buckets.append(padded.shape[1])
         small, first, n_valid = self._jit_prefill(
             self.decoder, self.llm_params, self.config,
             jnp.asarray(padded), jnp.asarray(mask), self._next_key(),
         )
         return small, first, n_valid, ids  # ids = speculative draft corpus
 
+    # ------------------------------------------------------- admission prefetch
+    def _start_prefetch(self) -> None:
+        """Kick off host-side preparation of the queue head on a worker thread
+        while the device is busy with a decode chunk. Pure host work
+        (video decode, tokenizer, numpy) — no jax calls."""
+        if self._prepare is None or self._prefetched is not None or not self._queue:
+            return
+        import threading
+
+        req = self._queue[0]
+        holder: Dict[str, Any] = {}
+
+        def work():
+            try:
+                holder["payload"] = self._prepare(req)
+            except Exception as e:  # surfaced at admission
+                holder["error"] = e
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._prefetched = (req.request_id, t, holder)
+
+    def _take_prefetch(self, req: Request) -> Any:
+        if self._prefetched is None or self._prefetched[0] != req.request_id:
+            return None
+        _, t, holder = self._prefetched
+        self._prefetched = None
+        t.join()
+        if "error" in holder:
+            raise holder["error"]
+        self.stats.prefetch_hits += 1
+        return holder["payload"]
+
     def _admit(self) -> None:
         for slot_idx, slot in enumerate(self._slots):
             if slot.request is not None or not self._queue:
                 continue
-            req = self._queue.popleft()
-            out = self._prefill_request(req)
+            req = self._queue[0]
+            prepared = self._take_prefetch(req)
+            self._queue.popleft()
+            out = self._prefill_request(req, prepared)
             small, first, n_valid = out[:3]
             lookup = out[3] if len(out) > 3 else None
             if self.spec_gamma and lookup is None:
@@ -473,6 +537,9 @@ class ContinuousBatchingEngine:
                     self._next_key(),
                 )
             )
+            # overlap the queue head's host prep with the running chunk
+            # (dispatch is async; np.asarray below is the blocking sync)
+            self._start_prefetch()
             # [K, B, gamma+1] windows + [K, B] counts — one host sync per chunk
             wins, emits = np.asarray(wins), np.asarray(emits)
             step_tokens = [
@@ -484,6 +551,7 @@ class ContinuousBatchingEngine:
                 self.decoder, self.llm_params, self._cache, self._last_tok,
                 done_in, self.config, self.steps_per_sync, self._next_key(),
             )
+            self._start_prefetch()  # overlap host prep with the running chunk
             toks = np.asarray(toks)  # [K, B] — the one host sync per chunk
             step_tokens = [
                 [toks[k, b : b + 1] for b in range(self.num_slots)]
@@ -558,12 +626,17 @@ class ContinuousBatchingEngine:
             first = _sample_token(first_logits, rng, engine.config)
             return (cache.k, cache.v, cache.k_scale, cache.v_scale), first, n_valid
 
-        def prefill_request(req: Request):
+        def prepare(req: Request):
+            """Host side (video decode + per-encoder transforms + tokenizer) —
+            runs on the prefetch thread while the device decodes a chunk."""
             if req.prompt_text is None:
                 raise ValueError("VidLM engine requests need prompt_text")
-            ids, mask, vids, is_mm = vidlm._prepare_batch_inputs(
+            return vidlm._prepare_batch_inputs(
                 [req.video], [req.prompt_text], length_bucket=engine.length_bucket,
             )
+
+        def prefill_request(req: Request, prepared: Any = None):
+            ids, mask, vids, is_mm = prepared if prepared is not None else prepare(req)
             key = (ids.shape[1],)
             fn = jitted.get(key)
             if fn is None:
@@ -573,5 +646,6 @@ class ContinuousBatchingEngine:
             lookup = np.asarray(ids)[0][: int(np.asarray(mask).sum())]
             return small, first, n_valid, lookup  # text ids = draft corpus
 
+        engine._prepare = prepare
         engine._prefill_request = prefill_request
         return engine

@@ -472,3 +472,20 @@ def test_engine_under_tensor_parallel_mesh(decoder_and_params):
         )
         for i, ref in enumerate(refs):
             assert np.array_equal(results[f"r{i}"].token_ids, ref), (gamma, i)
+
+
+def test_engine_admission_prefetch(decoder_and_params):
+    """Host prep of the queue head overlaps decode chunks: admissions after
+    the first chunk hit the prefetched payload, outputs unchanged."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 3, 9, 2], seed=13)
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=1, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=4
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    # 1 slot, 4 requests: requests 2-4 admit after chunks ran -> prefetch hits
+    assert eng.stats.prefetch_hits >= 2, eng.stats
