@@ -181,6 +181,123 @@ def generate(
 
 
 # ---------------------------------------------------------------------------
+# Shared-prefix generation (video-prefix KV caching)
+# ---------------------------------------------------------------------------
+
+
+def prefill_prefix(
+    decoder: LlamaDecoder,
+    params: PyTree,
+    *,
+    inputs_embeds: Array,  # [1, P, E] — the shared prefix, NO padding
+    kv_cache_dtype: Optional[str] = None,
+) -> KVCache:
+    """Prefill a shared, pad-free prompt prefix into a fresh KV cache.
+
+    Eval sets ask several questions per video, and the spliced
+    ``[BOS | visual]`` prefix depends only on the video — so its tower
+    forward + KV rows can be computed ONCE and reused by every question
+    (:func:`generate_with_prefix`). Returns a B=1 cache whose buffer is
+    EXACTLY P rows (``length == P``); the suffix path tiles + right-pads it
+    to its working size, which keeps the prefix length recoverable from the
+    static buffer shape (no host sync).
+    """
+    B, P = inputs_embeds.shape[:2]
+    assert B == 1, f"shared prefix is per-video (B=1), got B={B}"
+    cache_dtype = jnp.int8 if kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
+    cache = KVCache.create(decoder.cfg, 1, P, dtype=cache_dtype)
+    _, cache = decoder(params, inputs_embeds=inputs_embeds, kv_cache=cache)
+    return cache
+
+
+def _tile_pad_cache(cache: KVCache, n: int, extra_rows: int) -> KVCache:
+    """Broadcast a B=1 prefix cache to n rows and extend its buffer by
+    ``extra_rows`` zero rows (physical copy: decode writes per-row).
+    Shapes: [L, B, H_kv, max_len, D] — batch axis 1, position axis 3."""
+
+    def grow(x, fill):
+        if x is None:
+            return None
+        if n > 1:
+            x = jnp.repeat(x, n, axis=1)
+        if extra_rows > 0:
+            pad_shape = x.shape[:3] + (extra_rows,) + x.shape[4:]
+            x = jnp.concatenate([x, jnp.full(pad_shape, fill, x.dtype)], axis=3)
+        return x
+
+    return cache._replace(
+        k=grow(cache.k, 0), v=grow(cache.v, 0),
+        # int8 mode: pad scales with 1.0 (the neutral scale create() uses)
+        k_scale=grow(cache.k_scale, 1.0), v_scale=grow(cache.v_scale, 1.0),
+    )
+
+
+def generate_with_prefix(
+    decoder: LlamaDecoder,
+    params: PyTree,
+    prefix_cache: KVCache,
+    *,
+    suffix_ids: Array,  # [B, Ts] right-padded question tokens (post-BOS)
+    suffix_mask: Array,  # [B, Ts]
+    config: GenerationConfig = GenerationConfig(),
+    rng: Optional[Array] = None,
+) -> Array:
+    """Generate continuations of a SHARED cached prefix — [B, max_new_tokens].
+
+    The B suffix rows each attend the same prefix KV rows plus their own
+    suffix causally, exactly as one full prefill of ``[prefix | suffix_b]``
+    would — outputs are token-identical to :func:`generate` on the spliced
+    sequence (pinned by ``test_generate_with_prefix_matches_full``). The
+    prefix cache is tiled + padded into a fresh working buffer, so the
+    caller's cache stays valid for further question batches on the same
+    video.
+
+    Cost: the towers + P-token prefill amortize over every question on the
+    video; each question pays only its ~Ts-token suffix prefill + decode.
+    The reference recomputes the full video prefill per question
+    (reference ``merv/models/vidlms/merv.py:779-830``).
+    """
+    B, Ts = suffix_ids.shape
+    prefix_len = prefix_cache.k.shape[3]  # static: buffer is exactly the prefix
+    cache = _tile_pad_cache(prefix_cache, B, Ts + config.max_new_tokens)
+    max_len = prefix_len + Ts + config.max_new_tokens
+
+    sm = suffix_mask.astype(jnp.int32)
+    n_valid = jnp.sum(sm, axis=1)  # [B] valid suffix tokens
+    positions = prefix_len + jnp.maximum(jnp.cumsum(sm, axis=1) - 1, 0)
+    # cache-wide kv validity: prefix rows all valid; suffix pads invalid
+    # forever; rows past the suffix window are future decode writes (valid,
+    # same convention as generate())
+    cache_mask = jnp.concatenate(
+        [
+            jnp.ones((B, prefix_len), bool),
+            suffix_mask.astype(bool),
+            jnp.ones((B, max_len - prefix_len - Ts), bool),
+        ],
+        axis=1,
+    )
+
+    embeds = decoder.embed_input_ids(params, suffix_ids)
+    logits, cache = decoder(
+        params, inputs_embeds=embeds, attention_mask=cache_mask,
+        positions=positions, kv_cache=cache, logits_indices=n_valid - 1,
+    )
+    last_logits = logits[:, 0].astype(jnp.float32)
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    k0, k1 = jax.random.split(rng)
+    total_valid = prefix_len + n_valid
+    first = _sample_token(_ban_eos_below_min_length(last_logits, total_valid, config), k0, config)
+    if config.max_new_tokens == 1:
+        return first[:, None]
+    tokens, _ = _decode_scan(
+        decoder, params, first, cache, cache_mask, total_valid, k1, config,
+        config.max_new_tokens - 1,
+    )
+    return tokens
+
+
+# ---------------------------------------------------------------------------
 # Speculative decoding (prompt-lookup / n-gram drafting, no draft model)
 # ---------------------------------------------------------------------------
 

@@ -528,6 +528,186 @@ class MERV(VidLM):
             outs.append(tok.decode(row, skip_special_tokens=True).strip())
         return outs
 
+    # ------------------------------------------------------------------------------
+    # Video-prefix KV caching (shared-video serving)
+    # ------------------------------------------------------------------------------
+
+    def build_video_prefix(
+        self,
+        params: PyTree,
+        video: Any,
+        num_frames: Optional[List[int]] = None,
+        clip_args: Optional[Dict[str, Any]] = None,
+        kv_cache_dtype: Optional[str] = None,
+        bos_ids: Optional[Any] = None,
+    ) -> Any:
+        """Towers + fusion + ``[BOS | visual]`` KV prefill, ONCE per video.
+
+        Eval sets ask several questions about the same video, and the spliced
+        prefix (reference splice-after-BOS, merv.py:633-650) depends only on
+        the video — so the tower forward (~44% of prefill time) and the
+        1025-token prefix KV can be shared across all of them. Returns an
+        opaque prefix cache for :meth:`generate_batch_shared` /
+        :meth:`generate_ids_shared`. One jitted program per video shape set.
+        """
+        from merv_tpu.models.generation import prefill_prefix
+        from merv_tpu.preprocessing.transforms import subsample_frames
+        import numpy as np
+
+        if num_frames is None:
+            num_frames = [vb.num_frames for vb in self.video_backbones]
+        if isinstance(video, str) or hasattr(video, "__fspath__"):
+            video = _load_media(video, max(num_frames), **(clip_args or {}))
+        video = np.asarray(video)
+        vids = []
+        for vb, nf in zip(self.video_backbones, num_frames):
+            frames = subsample_frames(video, nf)
+            vids.append(vb.get_video_transform()(jnp.asarray(frames))[None])
+
+        nbos = self.llm_backbone.bos_token_length
+        if bos_ids is None:
+            bos = self.llm_backbone.tokenizer(".", truncation=True).input_ids[:nbos]
+            bos_ids = jnp.asarray([bos], jnp.int32) if nbos else jnp.zeros((1, 1), jnp.int32)
+
+        cache = self.__dict__.setdefault("_serve_jit_cache", {})
+        key = ("vprefix", kv_cache_dtype)
+        fn = cache.get(key)
+        if fn is None:
+            def run(params, videos, bos_ids):
+                feats = self.encode_videos(params, videos, None)
+                visual, _ = self.project_and_fuse(params, feats)
+                dec = self.llm_backbone.decoder
+                if nbos:
+                    bos_embeds = self.llm_backbone.embed_input_ids(params["llm_backbone"], bos_ids)
+                    prefix = jnp.concatenate([bos_embeds, visual.astype(bos_embeds.dtype)], axis=1)
+                else:
+                    prefix = visual
+                return prefill_prefix(
+                    dec, params["llm_backbone"], inputs_embeds=prefix,
+                    kv_cache_dtype=kv_cache_dtype,
+                )
+
+            fn = jax.jit(run)
+            cache[key] = fn
+        return fn(params, vids, bos_ids)
+
+    def generate_ids_shared(
+        self,
+        params: PyTree,
+        prefix_cache: Any,
+        suffix_ids: Array,  # [B, Ts] right-padded post-BOS prompt tokens
+        suffix_mask: Array,  # [B, Ts]
+        max_new_tokens: int = 128,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        min_length: int = 1,
+        rng: Optional[Array] = None,
+        kv_cache_dtype: Optional[str] = None,
+    ) -> Array:
+        """Batched generation against a shared video-prefix cache.
+
+        Token-identical to :meth:`generate_ids` on the full spliced sequence
+        (pinned by ``test_shared_video_prefix_matches_full``); each question
+        pays only its suffix prefill + decode instead of towers + full
+        prefill. One jitted program per (config, shape) pair.
+        """
+        from merv_tpu.models.generation import generate_with_prefix
+
+        cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature,
+            top_p=top_p, top_k=top_k, min_length=min_length,
+            eos_token_id=self.llm_backbone.stop_token_id,
+            pad_token_id=self.llm_backbone.pad_token_id,
+            kv_cache_dtype=kv_cache_dtype,
+        )
+        cache = self.__dict__.setdefault("_serve_jit_cache", {})
+        key = ("vsuffix", cfg)
+        fn = cache.get(key)
+        if fn is None:
+            def run(params, prefix_cache, suffix_ids, suffix_mask, rng):
+                return generate_with_prefix(
+                    self.llm_backbone.decoder, params["llm_backbone"], prefix_cache,
+                    suffix_ids=suffix_ids, suffix_mask=suffix_mask, config=cfg, rng=rng,
+                )
+
+            fn = jax.jit(run)
+            cache[key] = fn
+        return fn(params, prefix_cache, suffix_ids, suffix_mask,
+                  jax.random.PRNGKey(0) if rng is None else rng)
+
+    def generate_batch_shared(
+        self,
+        params: PyTree,
+        video: Any,
+        prompt_texts: Sequence[str],
+        num_frames: Optional[List[int]] = None,
+        max_new_tokens: int = 128,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        min_length: int = 1,
+        clip_args: Optional[Dict[str, Any]] = None,
+        rng: Optional[Array] = None,
+        pad_to_batch: Optional[int] = None,
+        length_bucket: int = 64,
+        kv_cache_dtype: Optional[str] = None,
+        prefix_cache: Any = None,
+    ) -> List[str]:
+        """ONE video, many questions: towers + video-prefix prefill run once,
+        each question pays only its suffix prefill + decode (the multi-
+        question-per-video regime every MERV eval set is in). Same bucketing
+        discipline as :meth:`generate_batch`. Pass ``prefix_cache`` (from
+        :meth:`build_video_prefix`) to reuse a prefix across calls.
+        """
+        import numpy as np
+
+        n_real = len(prompt_texts)
+        nbos = self.llm_backbone.bos_token_length
+        tok = self.llm_backbone.tokenizer
+        id_lists = [tok(p, truncation=True).input_ids for p in prompt_texts]
+        if nbos:
+            bos = id_lists[0][:nbos]
+            assert all(ids[:nbos] == bos for ids in id_lists), "prompts disagree on BOS"
+        else:
+            bos = []
+        suffixes = [ids[nbos:] for ids in id_lists]
+        if pad_to_batch is not None and n_real < pad_to_batch:
+            suffixes += [suffixes[-1]] * (pad_to_batch - n_real)
+        B = len(suffixes)
+        Ts = max(1, max(len(s) for s in suffixes))
+        if length_bucket > 1:
+            cap = max(self.llm_backbone.llm_max_length, Ts)
+            Ts = min(-(-Ts // length_bucket) * length_bucket, cap)
+        pad = self.llm_backbone.pad_token_id
+        suffix_ids = np.full((B, Ts), pad, np.int32)
+        suffix_mask = np.zeros((B, Ts), np.int32)
+        for b, s in enumerate(suffixes):
+            suffix_ids[b, : len(s)] = s
+            suffix_mask[b, : len(s)] = 1
+
+        if prefix_cache is None:
+            prefix_cache = self.build_video_prefix(
+                params, video, num_frames, clip_args, kv_cache_dtype=kv_cache_dtype,
+                bos_ids=jnp.asarray([bos], jnp.int32) if nbos else None,
+            )
+        tokens = self.generate_ids_shared(
+            params, prefix_cache, jnp.asarray(suffix_ids), jnp.asarray(suffix_mask),
+            max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature,
+            top_p=top_p, top_k=top_k, min_length=min_length, rng=rng,
+            kv_cache_dtype=kv_cache_dtype,
+        )
+        stop = self.llm_backbone.stop_token_id
+        outs = []
+        for row in np.asarray(tokens)[:n_real]:
+            row = row.tolist()
+            if stop in row:
+                row = row[: row.index(stop)]
+            outs.append(tok.decode(row, skip_special_tokens=True).strip())
+        return outs
+
     def _prepare_batch_inputs(
         self,
         videos: Sequence[Any],

@@ -58,7 +58,15 @@ def _workload(n_requests: int, max_len: int, seed: int = 0):
     return reqs
 
 
-def main() -> None:
+def _phase(phase: str) -> dict:
+    """Run ONE measurement phase in this process and return its partials.
+
+    Phases run in separate subprocesses at full depth: one phase's compiled
+    programs + donated buffers left on the chip can push the next phase over
+    the HBM edge (observed: group baseline then engine RESOURCE_EXHAUSTED at
+    depth 32 int8) — the same poisoning bench.py isolates its fallback
+    configs against.
+    """
     on_cpu = jax.devices()[0].platform == "cpu"
     layers = int(os.environ.get("BENCH_LLM_LAYERS", "16"))
     slots = int(os.environ.get("BENCH_SLOTS", "4"))
@@ -80,6 +88,11 @@ def main() -> None:
     )
     reqs = _workload(n_requests, max_len)
     total_tokens = sum(r.max_new_tokens for r in reqs)
+    out = {
+        "layers": layers, "slots": slots, "requests": n_requests,
+        "total_new_tokens": total_tokens, "int8": int8, "int8_kv": int8_kv,
+        "platform": jax.devices()[0].platform,
+    }
 
     # --- group-synchronous baseline: batch = slots, decode to the group max
     def run_group() -> float:
@@ -98,15 +111,12 @@ def main() -> None:
                 max_new_tokens=gmax, eos_token_id=2, pad_token_id=0,
                 kv_cache_dtype=gcfg.kv_cache_dtype,
             )
-            out = generate(
+            toks = generate(
                 decoder, params, input_ids=jnp.asarray(ids),
                 attention_mask=jnp.asarray(mask), config=cfg_g,
             )
-            out.block_until_ready()
+            toks.block_until_ready()
         return time.perf_counter() - t0
-
-    run_group()  # compile
-    group_s = min(run_group() for _ in range(2))
 
     # --- continuous batching engine (fresh engine per timed run: state resets)
     def run_engine(spec: int):
@@ -119,34 +129,70 @@ def main() -> None:
         eng.run(list(reqs))
         return time.perf_counter() - t0, eng.stats
 
-    run_engine(0)  # compile
-    engine_s, stats = min((run_engine(0) for _ in range(2)), key=lambda x: x[0])
+    if phase == "group":
+        run_group()  # compile
+        out["group_s"] = min(run_group() for _ in range(2))
+    elif phase == "engine":
+        run_engine(0)  # compile
+        engine_s, stats = min((run_engine(0) for _ in range(2)), key=lambda x: x[0])
+        out.update(engine_s=engine_s, engine_decode_steps=stats.decode_steps,
+                   engine_util=round(stats.slot_utilization, 3))
+    elif phase == "spec":
+        run_engine(gamma)  # compile
+        spec_s, spec_stats = min((run_engine(gamma) for _ in range(2)), key=lambda x: x[0])
+        out.update(spec_s=spec_s, spec_decode_steps=spec_stats.decode_steps,
+                   spec_tokens_per_step=round(spec_stats.tokens_per_step, 3))
+    else:
+        raise ValueError(f"unknown BENCH_PHASE {phase!r}")
+    return out
 
-    run_engine(gamma)  # compile
-    spec_s, spec_stats = min((run_engine(gamma) for _ in range(2)), key=lambda x: x[0])
 
+def main() -> None:
+    phase = os.environ.get("BENCH_PHASE", "all")
+    if phase != "all":
+        print(json.dumps(_phase(phase)))
+        return
+
+    # orchestrate: one subprocess per phase (fresh device state each)
+    import subprocess
+
+    parts = {}
+    for ph in ("group", "engine", "spec"):
+        env = dict(os.environ, BENCH_PHASE=ph)
+        proc = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise SystemExit(f"phase {ph} failed (rc={proc.returncode})")
+        parts[ph] = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    total_tokens = parts["group"]["total_new_tokens"]
+    group_s = parts["group"]["group_s"]
+    engine_s = parts["engine"]["engine_s"]
+    spec_s = parts["spec"]["spec_s"]
     # per-step overhead of the gamma+1 verify vs the plain decode step:
     # compare decode-only step rates (chunks * steps / time is polluted by
     # prefills, so derive from the two engine runs' step counts)
-    plain_step_s = engine_s / max(stats.decode_steps, 1)
-    spec_step_s = spec_s / max(spec_stats.decode_steps, 1)
+    plain_step_s = engine_s / max(parts["engine"]["engine_decode_steps"], 1)
+    spec_step_s = spec_s / max(parts["spec"]["spec_decode_steps"], 1)
 
     result = {
         "metric": "serving",
-        "layers": layers,
-        "slots": slots,
-        "requests": n_requests,
+        "layers": parts["group"]["layers"],
+        "slots": parts["group"]["slots"],
+        "requests": parts["group"]["requests"],
         "total_new_tokens": total_tokens,
         "group_tok_s": round(total_tokens / group_s, 2),
         "engine_tok_s": round(total_tokens / engine_s, 2),
         "engine_vs_group": round(group_s / engine_s, 3),
-        "engine_util": round(stats.slot_utilization, 3),
+        "engine_util": parts["engine"]["engine_util"],
         "spec_tok_s": round(total_tokens / spec_s, 2),
-        "spec_tokens_per_step": round(spec_stats.tokens_per_step, 3),
+        "spec_tokens_per_step": parts["spec"]["spec_tokens_per_step"],
         "spec_step_overhead": round(spec_step_s / plain_step_s, 3),
-        "int8": int8,
-        "int8_kv": int8_kv,
-        "platform": jax.devices()[0].platform,
+        "int8": parts["group"]["int8"],
+        "int8_kv": parts["group"]["int8_kv"],
+        "platform": parts["group"]["platform"],
     }
     print(json.dumps(result))
 

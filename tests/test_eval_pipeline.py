@@ -243,6 +243,34 @@ def test_eval_mcq_batched(tmp_path, monkeypatch):
     assert len(rows) == 6 and all(isinstance(r["pred"], str) for r in rows)
 
 
+def test_eval_mcq_share_video_prefix(tmp_path, monkeypatch):
+    """share_video_prefix: questions group by video (dummy_mcq asks 2 per
+    video), towers + the video-prefix KV run once per video — and the
+    predictions are identical to the plain batched path."""
+    from scripts.eval_mcq import EvalConfig, evaluate
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    preds = {}
+    for mode, share in (("plain", False), ("shared", True)):
+        cfg = EvalConfig(
+            model_path=str(run_dir),
+            eval_dataset="dummy_mcq",
+            max_new_tokens=3,
+            batch_size=2,
+            share_video_prefix=share,
+            eval_data_root=REPO / "eval_data",
+            eval_result_root=tmp_path / f"eval_result_{mode}",
+            allow_random_weights=True,
+        )
+        evaluate(cfg=cfg)
+        merged = tmp_path / f"eval_result_{mode}" / str(run_dir) / "dummy_mcq_naive_pred_merge.jsonl"
+        rows = [json.loads(line) for line in merged.read_text().splitlines()]
+        assert len(rows) == 6
+        preds[mode] = {r["question_id"]: r["pred"] for r in rows}
+    assert preds["shared"] == preds["plain"]
+
+
 def test_eval_mcq_batched_sp_sharded_cache(tmp_path, monkeypatch):
     """--mesh_seq 2: the whole eval serves with an sp-sharded KV cache
     (sharded_cache_attention) on the virtual mesh — long-video serving

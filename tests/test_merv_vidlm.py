@@ -301,6 +301,27 @@ def test_generate_from_jpg_image(tmp_path):
     assert len(outs) == 3 and all(isinstance(o, str) for o in outs)
 
 
+def test_shared_video_prefix_matches_full():
+    """Video-prefix KV caching: one video, many questions — towers + the
+    [BOS | visual] prefill run once, yet outputs are token-identical to the
+    full per-question pipeline (every MERV eval set is in this regime)."""
+    m = _make_merv()
+    params = m.init(KEY)
+    video = (np.random.RandomState(0).rand(8, 32, 32, 3) * 255).astype(np.uint8)
+    prompts = ["In: a?\nOut: ", "In: what is happening here, in detail?\nOut: "]
+
+    full = m.generate_batch(params, [video, video], prompts, max_new_tokens=4)
+    shared = m.generate_batch_shared(params, video, prompts, max_new_tokens=4)
+    assert shared == full
+
+    # explicit prefix reuse across calls + partial-batch padding slices clean
+    pc = m.build_video_prefix(params, video)
+    one = m.generate_batch_shared(
+        params, video, prompts[:1], max_new_tokens=4, pad_to_batch=2, prefix_cache=pc
+    )
+    assert one == full[:1]
+
+
 def test_prompt_length_bucketing_and_batch_padding():
     """Serving compiles one prefill/decode pair per (padded length, batch)
     shape; static buckets + batch padding bound that count. Bucketed/padded
