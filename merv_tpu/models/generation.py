@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -185,6 +185,18 @@ def generate(
 # ---------------------------------------------------------------------------
 
 
+class VideoPrefix(NamedTuple):
+    """A shared-video prefix cache plus the host-side facts that define which
+    requests it may serve: the exact BOS ids baked into its first rows and
+    the KV dtype it was built with. ``MERV.generate_batch_shared`` validates
+    both before reuse — a mismatched external prefix raises instead of
+    silently producing wrong generations."""
+
+    cache: "KVCache"
+    bos_ids: Tuple[int, ...]
+    kv_cache_dtype: Optional[str]
+
+
 def prefill_prefix(
     decoder: LlamaDecoder,
     params: PyTree,
@@ -256,6 +268,13 @@ def generate_with_prefix(
     video; each question pays only its ~Ts-token suffix prefill + decode.
     The reference recomputes the full video prefill per question
     (reference ``merv/models/vidlms/merv.py:779-830``).
+
+    Contract: every suffix row must contain at least one valid token
+    (``suffix_mask.sum(axis=1) >= 1``). An all-pad row has no "last suffix
+    position" to sample from; ``logits_indices`` is clamped to 0 so such a
+    row reads the first suffix position deterministically instead of an
+    arbitrary hidden state, but its output is garbage by construction —
+    callers (``MERV.generate_batch_shared``) reject empty suffixes host-side.
     """
     B, Ts = suffix_ids.shape
     prefix_len = prefix_cache.k.shape[3]  # static: buffer is exactly the prefix
@@ -280,7 +299,8 @@ def generate_with_prefix(
     embeds = decoder.embed_input_ids(params, suffix_ids)
     logits, cache = decoder(
         params, inputs_embeds=embeds, attention_mask=cache_mask,
-        positions=positions, kv_cache=cache, logits_indices=n_valid - 1,
+        positions=positions, kv_cache=cache,
+        logits_indices=jnp.maximum(n_valid - 1, 0),
     )
     last_logits = logits[:, 0].astype(jnp.float32)
 

@@ -546,11 +546,13 @@ class MERV(VidLM):
         Eval sets ask several questions about the same video, and the spliced
         prefix (reference splice-after-BOS, merv.py:633-650) depends only on
         the video — so the tower forward (~44% of prefill time) and the
-        1025-token prefix KV can be shared across all of them. Returns an
-        opaque prefix cache for :meth:`generate_batch_shared` /
-        :meth:`generate_ids_shared`. One jitted program per video shape set.
+        1025-token prefix KV can be shared across all of them. Returns a
+        :class:`~merv_tpu.models.generation.VideoPrefix` — the cache plus the
+        BOS ids / KV dtype it was built with, so :meth:`generate_batch_shared`
+        can verify an externally supplied prefix actually pairs with the
+        request. One jitted program per video shape set.
         """
-        from merv_tpu.models.generation import prefill_prefix
+        from merv_tpu.models.generation import VideoPrefix, prefill_prefix
         from merv_tpu.preprocessing.transforms import subsample_frames
         import numpy as np
 
@@ -589,7 +591,11 @@ class MERV(VidLM):
 
             fn = jax.jit(run)
             cache[key] = fn
-        return fn(params, vids, bos_ids)
+        bos_tuple = tuple(int(t) for t in np.asarray(bos_ids)[0]) if nbos else ()
+        return VideoPrefix(
+            cache=fn(params, vids, bos_ids), bos_ids=bos_tuple,
+            kv_cache_dtype=kv_cache_dtype,
+        )
 
     def generate_ids_shared(
         self,
@@ -613,7 +619,16 @@ class MERV(VidLM):
         pays only its suffix prefill + decode instead of towers + full
         prefill. One jitted program per (config, shape) pair.
         """
-        from merv_tpu.models.generation import generate_with_prefix
+        from merv_tpu.models.generation import VideoPrefix, generate_with_prefix
+
+        if isinstance(prefix_cache, VideoPrefix):
+            if prefix_cache.kv_cache_dtype != kv_cache_dtype:
+                raise ValueError(
+                    f"prefix cache was built with kv_cache_dtype="
+                    f"{prefix_cache.kv_cache_dtype!r} but this request asks for "
+                    f"{kv_cache_dtype!r}"
+                )
+            prefix_cache = prefix_cache.cache
 
         cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, do_sample=do_sample, temperature=temperature,
@@ -664,16 +679,34 @@ class MERV(VidLM):
         """
         import numpy as np
 
+        from merv_tpu.models.generation import VideoPrefix
+
         n_real = len(prompt_texts)
         nbos = self.llm_backbone.bos_token_length
         tok = self.llm_backbone.tokenizer
         id_lists = [tok(p, truncation=True).input_ids for p in prompt_texts]
         if nbos:
             bos = id_lists[0][:nbos]
-            assert all(ids[:nbos] == bos for ids in id_lists), "prompts disagree on BOS"
+            if not all(ids[:nbos] == bos for ids in id_lists):
+                raise ValueError(
+                    "prompts disagree on BOS: a shared prefix bakes one BOS "
+                    f"into its cache, got {sorted({tuple(i[:nbos]) for i in id_lists})}"
+                )
         else:
             bos = []
+        if isinstance(prefix_cache, VideoPrefix) and prefix_cache.bos_ids != tuple(bos):
+            raise ValueError(
+                f"prefix cache was built with bos_ids={prefix_cache.bos_ids} "
+                f"but these prompts tokenize to bos_ids={tuple(bos)}"
+            )
         suffixes = [ids[nbos:] for ids in id_lists]
+        if any(len(s) == 0 for s in suffixes):
+            empty = [i for i, s in enumerate(suffixes) if not s]
+            raise ValueError(
+                f"prompts {empty} are empty after BOS stripping: the shared-"
+                "prefix path needs at least one suffix token per row to anchor "
+                "its first sampled position"
+            )
         if pad_to_batch is not None and n_real < pad_to_batch:
             suffixes += [suffixes[-1]] * (pad_to_batch - n_real)
         B = len(suffixes)
