@@ -75,7 +75,8 @@ class Request:
 class RequestResult:
     request_id: str
     token_ids: np.ndarray  # [max_new_tokens] int32, pad after EOS (generate() layout)
-    finish_reason: str  # "eos" | "budget"
+    finish_reason: str  # "eos" | "budget" | "error"
+    error: Optional[str] = None  # "<ExcType>: <message>" when finish_reason == "error"
 
 
 @dataclass
@@ -89,6 +90,8 @@ class EngineStats:
     spec_steps: int = 0  # verify forwards executed for live slots (speculative mode)
     spec_emitted: int = 0  # tokens those forwards produced (>= spec_steps)
     prefetch_hits: int = 0  # admissions whose host prep overlapped a decode chunk
+    errors: int = 0  # requests that failed (corrupt media / over-budget / prep error)
+    batched_admissions: int = 0  # admissions that shared a prefill program with others
 
     @property
     def slot_utilization(self) -> float:
@@ -112,19 +115,23 @@ class _Slot:
 def _insert_into_slot(
     cache: KVCache,
     last_tok: Array,  # [B]
-    small: Tuple[Array, Array, Optional[Array], Optional[Array]],  # [L,1,H,Tb,D] (+scales)
+    small: Tuple[Array, Array, Optional[Array], Optional[Array]],  # [L,n,H,Tb,D] (+scales)
+    row: Array,  # scalar int32: which row of the (possibly batched) small cache
     slot: Array,  # scalar int32
     n_valid: Array,  # scalar int32
     first_tok: Array,  # scalar int32
 ) -> Tuple[KVCache, Array]:
-    """Splice a freshly prefilled request into slot row ``slot`` of the shared
-    cache: copy its Tb cache rows to offset 0 and reset the slot's pointer.
-    Stale rows past ``n_valid`` from the previous occupant stay in HBM but are
-    dead — per-slot kv masks never read past ``length[b]`` and decode
-    overwrites them in order."""
+    """Splice row ``row`` of a freshly prefilled request cache into slot row
+    ``slot`` of the shared cache: copy its Tb cache rows to offset 0 and reset
+    the slot's pointer. ``small`` may hold several requests prefilled together
+    (batched admission) — each call splices one row. Stale rows past
+    ``n_valid`` from the previous occupant stay in HBM but are dead — per-slot
+    kv masks never read past ``length[b]`` and decode overwrites them in
+    order."""
     sk, sv, sks, svs = small
 
     def put(buf, val):
+        val = jax.lax.dynamic_slice_in_dim(val, row, 1, axis=1)
         return jax.lax.dynamic_update_slice(buf, val, (0, slot, 0, 0, 0))
 
     k, v = put(cache.k, sk.astype(cache.k.dtype)), put(cache.v, sv.astype(cache.v.dtype))
@@ -254,16 +261,18 @@ def _llm_prefill(
     decoder: LlamaDecoder,
     params: PyTree,
     cfg: GenerationConfig,
-    input_ids: Array,  # [1, Tb] right-padded
-    attention_mask: Array,  # [1, Tb]
+    input_ids: Array,  # [n, Tb] right-padded (n=1 solo, n>1 batched admission)
+    attention_mask: Array,  # [n, Tb]
     rng: Array,
 ) -> Tuple[Tuple[Array, Array, Optional[Array], Optional[Array]], Array, Array]:
-    """B=1 prompt prefill -> (small cache buffers [L,1,H,Tb,D], first token [1],
-    n_valid [1]). Mirrors generation.generate()'s prefill exactly (positions
-    from the mask cumsum, last-valid lm_head gather, min-length EOS ban)."""
-    Tb = input_ids.shape[1]
+    """Prompt prefill -> (small cache buffers [L,n,H,Tb,D], first token [n],
+    n_valid [n]). Mirrors generation.generate()'s prefill exactly (positions
+    from the mask cumsum, last-valid lm_head gather, min-length EOS ban).
+    Several pending admissions sharing a length bucket prefill together: the
+    weight HBM stream is paid once for all of them."""
+    n, Tb = input_ids.shape
     cache_dtype = jnp.int8 if cfg.kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
-    cache = KVCache.create(decoder.cfg, 1, Tb, dtype=cache_dtype)
+    cache = KVCache.create(decoder.cfg, n, Tb, dtype=cache_dtype)
     am = attention_mask.astype(jnp.int32)
     positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
     n_valid = jnp.sum(am, axis=1)
@@ -313,7 +322,10 @@ class ContinuousBatchingEngine:
         rng: Optional[Array] = None,
         speculative_gamma: int = 0,
         speculative_ngram: int = 2,
+        speculative_break_even: float = 1.2,
+        speculative_autodisable: bool = False,
         mesh: Optional[Any] = None,
+        result_callback: Optional[Callable[[RequestResult], None]] = None,
     ) -> None:
         if config.kv_cache_dtype not in (None, "int8"):
             raise ValueError(f"unsupported kv_cache_dtype {config.kv_cache_dtype!r}")
@@ -326,6 +338,15 @@ class ContinuousBatchingEngine:
         self.length_bucket = length_bucket
         self.spec_gamma = speculative_gamma
         self.spec_ngram = speculative_ngram
+        # realized tokens/step below this is a net loss (the gamma+1 verify
+        # step costs ~breakeven x a plain decode step — measured on-chip, see
+        # BASELINE.md "Speculative decoding acceptance curve"); after a probe
+        # window the engine warns, and with autodisable=True falls back to
+        # plain decode for the rest of the run (compiles the plain program)
+        self.spec_break_even = speculative_break_even
+        self.spec_autodisable = speculative_autodisable
+        self._spec_probe_steps = 128
+        self._spec_warned = False
         if prefill_fn is not None:
             import inspect
 
@@ -336,12 +357,23 @@ class ContinuousBatchingEngine:
                 self._prefill_request = prefill_fn
         else:
             self._prefill_request = self._default_prefill
+        # batched admission: only the default LLM prefill path knows how to
+        # fuse several same-bucket prompts into one prefill program; custom
+        # prefill fns stay per-request
+        self._can_batch_prefill = prefill_fn is None
         # host-side preparation hook (video decode / tokenization) that the
         # prefetcher runs while the device decodes a chunk. Custom prefill_fns
         # start with prefetch disabled — a frontend that supports it assigns
         # its own prepare (see for_vidlm); payload formats are prefill-fn-local
         self._prepare: Optional[Callable[[Request], Any]] = (
             self._prepare_llm if prefill_fn is None else None
+        )
+        # host-side expected sequence length of a prepared payload — lets
+        # admission reject over-budget requests BEFORE paying the device
+        # prefill. None (custom prefill fns) falls back to the post-prefill
+        # backstop check.
+        self._prepared_len: Optional[Callable[[Request, Any], int]] = (
+            (lambda req, prepared: len(prepared[2])) if prefill_fn is None else None
         )
         self._prefetched: Optional[Tuple[str, Any, Dict[str, Any]]] = None
         # one jit wrapper for the engine's lifetime: its compilation cache is
@@ -354,6 +386,14 @@ class ContinuousBatchingEngine:
         # past its last in-budget token before the host syncs; the freeze
         # guard in _decode_chunk_spec only fires past max_len
         rows = max_len + (speculative_gamma + 1 if speculative_gamma else 0)
+        if mesh is not None and decoder.cfg.sequence_parallel:
+            from merv_tpu.parallel.mesh import SEQ_AXIS as _SP
+
+            sp_ = dict(mesh.shape).get(_SP, 1)
+            if sp_ > 1:
+                # sp-sharded slot cache: the rows dim must tile the sp axis
+                # (extra spare rows are inert — the freeze guard only tightens)
+                rows = -(-rows // sp_) * sp_
         cache = KVCache.create(decoder.cfg, slots, rows, dtype=cache_dtype)
         cache_gb = sum(b.size * b.dtype.itemsize for b in (cache.k, cache.v)) / 1e9
         overwatch.info(
@@ -368,19 +408,31 @@ class ContinuousBatchingEngine:
             hc = max_len + 2 * speculative_gamma + speculative_ngram + 8
             self._hist = jnp.full((slots, hc), config.pad_token_id, jnp.int32)
             self._hist_len = jnp.zeros((slots,), jnp.int32)
+        self._mesh = mesh
         if mesh is not None:
             # tensor-parallel serving: params carry Megatron head splits
             # (load_vid(mesh=...)), so the cache's kv-head dim shards the same
-            # way — decode attention then never re-gathers heads. Everything
-            # else (pointers, tokens, history) replicates.
+            # way — decode attention then never re-gathers heads. Sequence-
+            # parallel serving (decoder.cfg.sequence_parallel + an sp>1 mesh):
+            # the cache's ROWS dim shards over sp instead — per-slot pointers
+            # stay replicated, and decode attention merges per-chip partials
+            # via the cross-chip online softmax (sharded_cache_attention).
+            # Everything else (pointers, tokens, history) replicates.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from merv_tpu.parallel.mesh import TENSOR_AXIS
+            from merv_tpu.parallel.mesh import SEQ_AXIS, TENSOR_AXIS
 
             tp = dict(mesh.shape).get(TENSOR_AXIS, 1)
+            sp = dict(mesh.shape).get(SEQ_AXIS, 1)
+            head_axis = TENSOR_AXIS if tp > 1 and decoder.cfg.num_kv_heads % tp == 0 else None
+            row_axis = (
+                SEQ_AXIS
+                if sp > 1 and decoder.cfg.sequence_parallel and rows % sp == 0
+                else None
+            )
             heads = (
-                P(None, None, TENSOR_AXIS, None, None)
-                if tp > 1 and decoder.cfg.num_kv_heads % tp == 0
+                P(None, None, head_axis, row_axis, None)
+                if head_axis or row_axis
                 else P()
             )
             hshard = NamedSharding(mesh, heads)
@@ -401,6 +453,10 @@ class ContinuousBatchingEngine:
         self._slots = [_Slot() for _ in range(slots)]
         self._queue: deque[Request] = deque()
         self._results: Dict[str, RequestResult] = {}
+        # fires the moment a request finishes (incl. errors) — lets frontends
+        # persist results incrementally so a crash mid-run loses at most the
+        # in-flight slots (serve.py's resume protocol rides on this)
+        self._result_callback = result_callback
         self.stats = EngineStats()
 
     # ------------------------------------------------------------------ api
@@ -412,11 +468,26 @@ class ContinuousBatchingEngine:
         keyed by request_id. Callable repeatedly — state persists."""
         for r in requests:
             self.submit(r)
-        self._admit()
-        while any(s.request is not None for s in self._slots):
-            self._decode_one_chunk()
+        with self._mesh_scope():
             self._admit()
+            while any(s.request is not None for s in self._slots):
+                self._decode_one_chunk()
+                self._admit()
         return dict(self._results)
+
+    def _mesh_scope(self):
+        """Trace-time activation-mesh scope for mesh-aware serving modes: the
+        decoder's sp-sharded-cache path (``_sp_serve_mesh``) discovers the
+        mesh through ``get_activation_mesh()`` when the engine's programs
+        trace; TP-only engines work purely through sharded params/cache, for
+        which the scope is inert."""
+        if self._mesh is None:
+            from contextlib import nullcontext
+
+            return nullcontext()
+        from merv_tpu.parallel.sharding import activation_mesh
+
+        return activation_mesh(self._mesh)
 
     # ------------------------------------------------------------ internals
     def _next_key(self) -> Array:
@@ -484,47 +555,150 @@ class ContinuousBatchingEngine:
         self.stats.prefetch_hits += 1
         return holder["payload"]
 
+    def _fail(self, req: Request, exc: BaseException) -> None:
+        """Per-request fault absorption (the reference's eval-driver philosophy,
+        reference ``scripts/eval_openended.py:169-188``): a corrupt video,
+        over-budget prompt, or tokenizer error fails THAT request with
+        ``finish_reason="error"`` — every in-flight slot and the rest of the
+        queue keep serving."""
+        overwatch.error(
+            f"request {req.request_id} failed: {type(exc).__name__}: {exc}"
+        )
+        self.stats.errors += 1
+        res = RequestResult(
+            req.request_id,
+            np.full((max(req.max_new_tokens, 1),), self.config.pad_token_id, np.int32),
+            "error",
+            error=f"{type(exc).__name__}: {exc}",
+        )
+        self._results[req.request_id] = res
+        if self._result_callback is not None:
+            self._result_callback(res)
+
     def _admit(self) -> None:
-        for slot_idx, slot in enumerate(self._slots):
-            if slot.request is not None or not self._queue:
-                continue
+        # 1) drain the queue into (slot, request, prepared-payload) triples —
+        #    host prep errors and over-budget prompts fail per-request here,
+        #    BEFORE any device prefill is paid
+        free = [i for i, s in enumerate(self._slots) if s.request is None]
+        admits: List[Tuple[int, Request, Any]] = []
+        while free and self._queue:
             req = self._queue[0]
-            prepared = self._take_prefetch(req)
-            self._queue.popleft()
-            out = self._prefill_request(req, prepared)
-            small, first, n_valid = out[:3]
-            lookup = out[3] if len(out) > 3 else None
-            if self.spec_gamma and lookup is None:
-                raise ValueError(
-                    "speculative mode needs the prefill fn to return the prompt "
-                    "token ids as a 4th element (the draft corpus)"
-                )
-            self.stats.prefills += 1
-            n = int(n_valid[0])
-            if n + req.max_new_tokens > self.max_len:
-                raise ValueError(
-                    f"request {req.request_id}: prompt ({n}) + max_new_tokens "
-                    f"({req.max_new_tokens}) exceeds engine max_len {self.max_len}"
-                )
-            first_i = int(first[0])
-            if req.max_new_tokens == 1 or first_i == self.config.eos_token_id:
-                self._finish(req, [first_i], "eos" if first_i == self.config.eos_token_id else "budget")
+            try:
+                prepared = self._take_prefetch(req)
+            except Exception as e:
+                self._queue.popleft()
+                self._fail(req, e)
                 continue
-            self._cache, self._last_tok = _insert_into_slot(
-                self._cache, self._last_tok,
-                small, jnp.int32(slot_idx), n_valid[0], first[0],
-            )
-            if self.spec_gamma:
-                hc = self._hist.shape[1]
-                row = np.full((hc,), self.config.pad_token_id, np.int32)
-                lk = np.asarray(lookup, np.int32).reshape(-1)[: hc - 1]
-                row[: len(lk)] = lk
-                row[len(lk)] = first_i
-                self._hist = self._hist.at[slot_idx].set(jnp.asarray(row))
-                self._hist_len = self._hist_len.at[slot_idx].set(len(lk) + 1)
-            slot.request = req
-            slot.emitted = [first_i]
-            slot.done = False
+            self._queue.popleft()
+            try:
+                if prepared is None and self._prepare is not None:
+                    prepared = self._prepare(req)
+                if self._prepared_len is not None and prepared is not None:
+                    n = self._prepared_len(req, prepared)
+                    if n + req.max_new_tokens > self.max_len:
+                        raise ValueError(
+                            f"prompt ({n} tokens) + max_new_tokens "
+                            f"({req.max_new_tokens}) exceeds engine max_len {self.max_len}"
+                        )
+            except Exception as e:
+                self._fail(req, e)
+                continue
+            admits.append((free.pop(0), req, prepared))
+        if not admits:
+            return
+
+        # 2) prefill. Same-bucket pending admissions on the default LLM path
+        #    fuse into ONE prefill program (the weight HBM stream — the cost of
+        #    a short-prompt prefill — is paid once for all of them); custom
+        #    prefill fns run per-request.
+        if self._can_batch_prefill:
+            groups: Dict[int, List[Tuple[int, Request, Any]]] = {}
+            for item in admits:
+                groups.setdefault(item[2][0].shape[1], []).append(item)
+            for Tb, items in groups.items():
+                if Tb not in self.stats.prefill_buckets:
+                    self.stats.prefill_buckets.append(Tb)
+                # pad the admission batch to a power of two (repeat the last
+                # row; extras are never placed) so compiled prefill programs
+                # stay bounded at buckets x (1 + log2(slots)) instead of
+                # buckets x slots — compiles are minutes on real hardware
+                n_real = len(items)
+                n_prog = 1 << (n_real - 1).bit_length()
+                rows_ids = [it[2][0] for it in items] + [items[-1][2][0]] * (n_prog - n_real)
+                rows_mask = [it[2][1] for it in items] + [items[-1][2][1]] * (n_prog - n_real)
+                small, first, n_valid = self._jit_prefill(
+                    self.decoder, self.llm_params, self.config,
+                    jnp.asarray(np.concatenate(rows_ids, axis=0)),
+                    jnp.asarray(np.concatenate(rows_mask, axis=0)),
+                    self._next_key(),
+                )
+                self.stats.prefills += 1
+                if n_real > 1:
+                    self.stats.batched_admissions += n_real
+                first_h, n_valid_h = np.asarray(first), np.asarray(n_valid)
+                for row, (slot_idx, req, prepared) in enumerate(items):
+                    self._place(slot_idx, req, small, first, n_valid, row,
+                                int(first_h[row]), int(n_valid_h[row]), prepared[2])
+        else:
+            for slot_idx, req, prepared in admits:
+                try:
+                    out = self._prefill_request(req, prepared)
+                except Exception as e:
+                    self._fail(req, e)  # slot stays free for the next _admit
+                    continue
+                small, first, n_valid = out[:3]
+                lookup = out[3] if len(out) > 3 else None
+                if self.spec_gamma and lookup is None:
+                    raise ValueError(
+                        "speculative mode needs the prefill fn to return the prompt "
+                        "token ids as a 4th element (the draft corpus)"
+                    )
+                self.stats.prefills += 1
+                self._place(slot_idx, req, small, first, n_valid, 0,
+                            int(first[0]), int(n_valid[0]), lookup)
+
+    def _place(
+        self,
+        slot_idx: int,
+        req: Request,
+        small: Tuple,
+        first: Array,
+        n_valid: Array,
+        row: int,
+        first_i: int,
+        n: int,
+        lookup: Any,
+    ) -> None:
+        """Splice prefilled request ``row`` into ``slot_idx`` (or finish it
+        immediately). ``n``/``first_i`` are the host-synced scalars."""
+        if n + req.max_new_tokens > self.max_len:
+            # backstop for prefill fns whose prepared payload under-counts the
+            # final sequence (e.g. a custom multimodal splice): the device
+            # prefill was paid, but only this request fails
+            self._fail(req, ValueError(
+                f"prompt ({n} tokens) + max_new_tokens ({req.max_new_tokens}) "
+                f"exceeds engine max_len {self.max_len}"
+            ))
+            return
+        if req.max_new_tokens == 1 or first_i == self.config.eos_token_id:
+            self._finish(req, [first_i], "eos" if first_i == self.config.eos_token_id else "budget")
+            return
+        slot = self._slots[slot_idx]
+        self._cache, self._last_tok = _insert_into_slot(
+            self._cache, self._last_tok,
+            small, jnp.int32(row), jnp.int32(slot_idx), n_valid[row], first[row],
+        )
+        if self.spec_gamma:
+            hc = self._hist.shape[1]
+            hrow = np.full((hc,), self.config.pad_token_id, np.int32)
+            lk = np.asarray(lookup, np.int32).reshape(-1)[: hc - 1]
+            hrow[: len(lk)] = lk
+            hrow[len(lk)] = first_i
+            self._hist = self._hist.at[slot_idx].set(jnp.asarray(hrow))
+            self._hist_len = self._hist_len.at[slot_idx].set(len(lk) + 1)
+        slot.request = req
+        slot.emitted = [first_i]
+        slot.done = False
 
     def _decode_one_chunk(self) -> None:
         done_in = jnp.asarray([s.done for s in self._slots])
@@ -586,11 +760,38 @@ class ContinuousBatchingEngine:
             if slot.done or len(slot.emitted) >= req.max_new_tokens:
                 self._finish(req, slot.emitted, "eos" if slot.done else "budget")
                 slot.request, slot.emitted, slot.done = None, [], True
+        if (
+            self.spec_gamma
+            and not self._spec_warned
+            and self.stats.spec_steps >= self._spec_probe_steps
+            and self.stats.tokens_per_step < self.spec_break_even
+        ):
+            self._spec_warned = True
+            realized = self.stats.tokens_per_step
+            if self.spec_autodisable:
+                overwatch.warning(
+                    f"speculative decoding realized {realized:.3f} tokens/step over "
+                    f"{self.stats.spec_steps} verify steps — below the "
+                    f"{self.spec_break_even:.2f}x break-even; disabling for the rest "
+                    "of this run (plain decode program compiles on the next chunk)"
+                )
+                self.spec_gamma = 0
+            else:
+                overwatch.warning(
+                    f"speculative decoding realized {realized:.3f} tokens/step over "
+                    f"{self.stats.spec_steps} verify steps — below the "
+                    f"{self.spec_break_even:.2f}x break-even: this workload's n-gram "
+                    "acceptance is too low for gamma to pay; consider "
+                    "speculative_gamma=0 or speculative_autodisable=True"
+                )
 
     def _finish(self, req: Request, emitted: List[int], reason: str) -> None:
         out = np.full((req.max_new_tokens,), self.config.pad_token_id, np.int32)
         out[: len(emitted)] = emitted[: req.max_new_tokens]
-        self._results[req.request_id] = RequestResult(req.request_id, out, reason)
+        res = RequestResult(req.request_id, out, reason)
+        self._results[req.request_id] = res
+        if self._result_callback is not None:
+            self._result_callback(res)
 
     # ------------------------------------------------------------- frontends
     @classmethod
@@ -646,6 +847,21 @@ class ContinuousBatchingEngine:
             lookup = np.asarray(ids)[0][: int(np.asarray(mask).sum())]
             return small, first, n_valid, lookup  # text ids = draft corpus
 
+        def prepared_len(req: Request, prepared: Any) -> int:
+            """Expected post-splice sequence length (text + visual tokens for
+            multimodal rows) — lets admission reject over-budget requests
+            before the tower+prefill program runs."""
+            _, mask, _, is_mm = prepared
+            n = int(np.asarray(mask).sum())
+            if bool(np.asarray(is_mm).reshape(-1)[0]):
+                n += vidlm.visual_feature_length
+            return n
+
         engine._prepare = prepare
         engine._prefill_request = prefill_request
+        engine._prepared_len = prepared_len
+        # the batched-admission fast path is LLM-payload-specific (pads ids/
+        # masks into one prefill); the multimodal payload must go through
+        # prefill_request per-request or towers would silently be skipped
+        engine._can_batch_prefill = False
         return engine

@@ -61,6 +61,8 @@ class ServeConfig:
     int8_kv: bool = False                # int8 KV cache
     speculative: int = 0                 # batched prompt-lookup speculation: draft length gamma
     speculative_ngram: int = 2
+    speculative_autodisable: bool = False  # fall back to plain decode below break-even
+    resume: bool = True                  # skip request_ids already in --output
     allow_random_weights: bool = False   # structure/throughput testing ONLY
     # fmt: on
 
@@ -73,6 +75,45 @@ def serve(cfg: ServeConfig) -> None:
         src, allow_random_weights=cfg.allow_random_weights, quantize_llm=cfg.quantize_llm
     )
 
+    # resume protocol (mirrors the eval drivers' jsonl resume, reference
+    # scripts/eval_openended.py chunk/merge/resume): results append line-by-
+    # line THE MOMENT each request finishes, so a crash mid-run loses at most
+    # the in-flight slots; rerunning skips everything already on disk
+    done: set = set()
+    if cfg.resume and Path(cfg.output).exists():
+        with open(cfg.output) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        done.add(str(json.loads(line)["request_id"]))
+                    except (json.JSONDecodeError, KeyError):
+                        continue  # torn final line from a crash — rewrite it
+        if done:
+            overwatch.info(f"Resuming: {len(done)} results already in {cfg.output}")
+
+    tok = vidlm.llm_backbone.tokenizer
+    stop = vidlm.llm_backbone.stop_token_id
+    out_f = open(cfg.output, "a" if cfg.resume else "w")
+    totals = {"tokens": 0, "errors": 0}
+
+    def write_result(res) -> None:
+        ids = res.token_ids.tolist()
+        if stop in ids:
+            ids = ids[: ids.index(stop)]
+        totals["tokens"] += len(ids)
+        rec = {
+            "request_id": res.request_id,
+            "text": tok.decode(ids, skip_special_tokens=True).strip(),
+            "finish_reason": res.finish_reason,
+            "num_tokens": len(ids),
+        }
+        if res.finish_reason == "error":
+            rec["error"] = res.error
+            totals["errors"] += 1
+        out_f.write(json.dumps(rec) + "\n")
+        out_f.flush()
+
     gcfg = GenerationConfig(
         max_new_tokens=cfg.max_new_tokens, do_sample=cfg.do_sample,
         temperature=cfg.temperature, top_p=cfg.top_p, min_length=cfg.min_length,
@@ -84,49 +125,44 @@ def serve(cfg: ServeConfig) -> None:
         vidlm, params, slots=cfg.slots, max_len=cfg.max_len,
         steps_per_sync=cfg.steps_per_sync, config=gcfg,
         speculative_gamma=cfg.speculative, speculative_ngram=cfg.speculative_ngram,
+        speculative_autodisable=cfg.speculative_autodisable,
+        result_callback=write_result,
     )
 
-    n = 0
+    n, skipped = 0, 0
     with open(cfg.requests) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
             r = json.loads(line)
+            rid = str(r.get("request_id", n + skipped))
+            if rid in done:
+                skipped += 1
+                continue
             engine.submit(Request(
-                request_id=str(r.get("request_id", n)),
+                request_id=rid,
                 prompt_text=r["prompt"],
                 video=r.get("video"),
                 max_new_tokens=int(r.get("max_new_tokens", cfg.max_new_tokens)),
             ))
             n += 1
-    overwatch.info(f"Serving {n} requests on {cfg.slots} slots")
+    overwatch.info(
+        f"Serving {n} requests on {cfg.slots} slots"
+        + (f" ({skipped} already done, skipped)" if skipped else "")
+    )
 
     t0 = time.perf_counter()
-    results = engine.run()
+    engine.run()
     wall = time.perf_counter() - t0
-
-    tok = vidlm.llm_backbone.tokenizer
-    stop = vidlm.llm_backbone.stop_token_id
-    total_tokens = 0
-    with open(cfg.output, "w") as f:
-        for rid, res in results.items():
-            ids = res.token_ids.tolist()
-            if stop in ids:
-                ids = ids[: ids.index(stop)]
-            total_tokens += len(ids)
-            f.write(json.dumps({
-                "request_id": rid,
-                "text": tok.decode(ids, skip_special_tokens=True).strip(),
-                "finish_reason": res.finish_reason,
-                "num_tokens": len(ids),
-            }) + "\n")
+    out_f.close()
 
     s = engine.stats
     overwatch.info(
-        f"Served {n} requests in {wall:.1f}s ({total_tokens / wall:.1f} tok/s) — "
+        f"Served {n} requests in {wall:.1f}s ({totals['tokens'] / max(wall, 1e-9):.1f} tok/s) — "
         f"slot utilization {s.slot_utilization:.1%}, {s.prefills} prefills, "
         f"{s.decode_chunks} chunks"
+        + (f", {s.errors} failed (finish_reason=error)" if s.errors else "")
         + (f", {s.tokens_per_step:.2f} tokens/verify-step" if cfg.speculative else "")
     )
     overwatch.info(f"Results -> {cfg.output}")

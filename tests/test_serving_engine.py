@@ -62,14 +62,18 @@ def test_engine_matches_generate_greedy(decoder_and_params):
     results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
     for i, ref in enumerate(refs):
         assert np.array_equal(results[f"r{i}"].token_ids, ref), i
-    assert eng.stats.prefills == 5
+    # prefills counts PROGRAMS — batched admission may fuse same-bucket
+    # requests, so 5 requests need at most 5 (and at least 3: buckets 4/8/12)
+    assert 3 <= eng.stats.prefills <= 5
     # 5 requests through 2 slots requires slot reuse
     assert eng.stats.slot_steps_active > 0 and eng.stats.decode_chunks >= 3
 
 
 def test_engine_program_count_contract(decoder_and_params):
-    """One decode program total; one prefill program per length bucket — the
-    TPU serving invariant (compiles are minutes on hardware)."""
+    """One decode program total; prefill programs bounded by
+    buckets x (1 + log2(slots)) — batched admission pads each same-bucket
+    group to a power-of-two batch so program counts stay bounded regardless
+    of request count (compiles are minutes on hardware)."""
     from merv_tpu.serving import engine as engine_mod
 
     dec, params = decoder_and_params
@@ -84,7 +88,9 @@ def test_engine_program_count_contract(decoder_and_params):
     prefill_cache0 = eng._jit_prefill._cache_size()
     eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=4) for i, p in enumerate(prompts)])
     assert sorted(eng.stats.prefill_buckets) == [8, 16]
-    assert eng._jit_prefill._cache_size() - prefill_cache0 == 2
+    # 2 buckets x batch sizes {1, 2, 4}: at most 6 programs, and never more
+    # than one per (bucket, pow2-batch) pair
+    assert eng._jit_prefill._cache_size() - prefill_cache0 <= 6
     assert engine_mod._decode_chunk._cache_size() - decode_cache0 <= 1
 
 
@@ -144,14 +150,135 @@ def test_engine_heterogeneous_budgets_and_eos(decoder_and_params):
 
 
 def test_engine_admission_guard(decoder_and_params):
+    """Over-budget request: rejected BEFORE any device prefill is paid, as an
+    error RESULT (finish_reason="error") — the run continues, nothing raises
+    (the reference's per-item fault absorption philosophy, reference
+    scripts/eval_openended.py:169-188)."""
     dec, params = decoder_and_params
     eng = ContinuousBatchingEngine(
         dec, params, slots=1, max_len=16,
         config=GenerationConfig(max_new_tokens=12, eos_token_id=1, pad_token_id=0),
         length_bucket=4,
     )
-    with pytest.raises(ValueError, match="exceeds engine max_len"):
-        eng.run([Request("big", input_ids=_prompts([8])[0], max_new_tokens=12)])
+    results = eng.run([Request("big", input_ids=_prompts([8])[0], max_new_tokens=12)])
+    assert results["big"].finish_reason == "error"
+    assert "exceeds engine max_len" in results["big"].error
+    assert eng.stats.prefills == 0  # validated host-side, no device work paid
+    assert eng.stats.errors == 1
+
+
+def test_engine_poisoned_request_isolated(decoder_and_params):
+    """One poisoned request (no input_ids -> prep error) among good ones: the
+    rest complete with exact outputs; the poisoned one gets an error result
+    instead of killing every in-flight slot."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 9, 3], seed=21)
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=3, config=gcfg, length_bucket=4
+    )
+    reqs = [Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)]
+    reqs.insert(1, Request("bad", input_ids=None, max_new_tokens=8))  # poisoned
+    results = eng.run(reqs)
+    assert results["bad"].finish_reason == "error"
+    assert "input_ids" in results["bad"].error
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    assert eng.stats.errors == 1
+
+
+def test_engine_poisoned_video_isolated():
+    """VidLM frontend: a request whose video fails to decode (missing file)
+    errors alone; the other multimodal/unimodal requests still serve, and the
+    over-budget pre-check counts visual tokens (prepared_len)."""
+    from tests.test_merv_vidlm import _make_merv
+
+    m = _make_merv()
+    params = m.init(KEY)
+    video = (np.random.RandomState(3).rand(4, 32, 32, 3) * 255).astype(np.uint8)
+    stop = m.llm_backbone.stop_token_id
+    gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=stop, pad_token_id=0)
+
+    ids, mask, vids, is_mm = m._prepare_batch_inputs([video], ["In: a?\nOut: "], length_bucket=8)
+    ref = np.asarray(m.generate_ids(
+        params, jnp.asarray(ids), jnp.asarray(mask), vids,
+        is_multimodal=jnp.asarray(is_mm), max_new_tokens=4,
+    )[0])
+
+    eng = ContinuousBatchingEngine.for_vidlm(
+        m, params, slots=2, max_len=128, steps_per_sync=2, config=gcfg, length_bucket=8
+    )
+    results = eng.run([
+        Request("good", prompt_text="In: a?\nOut: ", video=video, max_new_tokens=4),
+        Request("corrupt", prompt_text="In: b?\nOut: ", video="/nonexistent/clip.mp4",
+                max_new_tokens=4),
+        Request("overbudget", prompt_text="In: c?\nOut: ", video=video,
+                max_new_tokens=125),  # visual tokens + prompt + 125 > 128
+    ])
+    assert np.array_equal(results["good"].token_ids, ref)
+    assert results["corrupt"].finish_reason == "error"
+    assert results["overbudget"].finish_reason == "error"
+    assert "exceeds engine max_len" in results["overbudget"].error
+    assert eng.stats.errors == 2
+
+
+def test_engine_batched_admission_parity(decoder_and_params):
+    """Several same-bucket requests pending with several free slots: they
+    prefill in ONE program (batched admission) and outputs stay exactly equal
+    to solo generate() calls."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 6, 7, 5], seed=22)  # all bucket 8
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=4, max_len=32, steps_per_sync=3, config=gcfg, length_bucket=8
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    # all four admitted together -> one prefill program served all of them
+    assert eng.stats.prefills == 1
+    assert eng.stats.batched_admissions == 4
+
+
+def test_engine_result_callback_incremental(decoder_and_params):
+    """result_callback fires the moment each request finishes (the serve.py
+    incremental-write/resume protocol), including error results."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 3], seed=23)
+    seen = []
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=1, max_len=32, steps_per_sync=2, config=gcfg,
+        length_bucket=4, result_callback=lambda res: seen.append(res.request_id),
+    )
+    reqs = [Request(f"r{i}", input_ids=p, max_new_tokens=6) for i, p in enumerate(prompts)]
+    reqs.append(Request("bad", input_ids=None))
+    results = eng.run(reqs)
+    assert sorted(seen) == sorted(results.keys())
+    # 1 slot: r0 must have been reported before r1 finished (incremental)
+    assert seen.index("r0") < seen.index("r1")
+
+
+def test_engine_speculative_autodisable(decoder_and_params):
+    """A workload with no n-gram repetition realizes ~1.0 tokens/step; with
+    autodisable on, the engine falls back to plain decode after the probe
+    window — outputs stay exact across the switch."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=24, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 9, 3, 7], seed=24)
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=48, steps_per_sync=4, config=gcfg,
+        length_bucket=4, speculative_gamma=3, speculative_autodisable=True,
+    )
+    eng._spec_probe_steps = 8  # shrink the probe window for the test
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=24) for i, p in enumerate(prompts)])
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    if eng.stats.tokens_per_step < eng.spec_break_even:
+        assert eng.spec_gamma == 0, "engine should have disabled speculation"
 
 
 def test_engine_sampling_runs(decoder_and_params):
@@ -469,6 +596,89 @@ def test_engine_under_tensor_parallel_mesh(decoder_and_params):
         assert not eng._cache.k.sharding.is_fully_replicated  # kv heads sharded
         results = eng.run(
             [Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)]
+        )
+        for i, ref in enumerate(refs):
+            assert np.array_equal(results[f"r{i}"].token_ids, ref), (gamma, i)
+
+
+def test_engine_tensor_parallel_int8_weights(decoder_and_params):
+    """TP serving with weight-only int8 (the 13B-per-v5e mode): kernel_q AND
+    scale leaves genuinely shard over the tensor axis (the rule table keys on
+    kernel_q — a miss would silently replicate 12 GiB of 13B weights), and
+    outputs match the unquantized-unsharded reference within int8 rounding
+    (greedy streams are compared on the SAME quantized weights instead)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from merv_tpu.nn.quantization import quantize_tree
+    from merv_tpu.parallel import MeshConfig, build_mesh, llm_tensor_parallel_rules
+    from merv_tpu.parallel.mesh import TENSOR_AXIS
+    from merv_tpu.parallel.sharding import path_str
+
+    dec, params = decoder_and_params
+    qparams = quantize_tree(params)
+    mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=2))
+    rules = llm_tensor_parallel_rules()
+
+    def _spec(path, leaf):
+        s = rules.spec_for(path_str(path), leaf)
+        return NamedSharding(mesh, s if s is not None else P())
+
+    tp_q = jax.device_put(qparams, jax.tree_util.tree_map_with_path(_spec, qparams))
+    attn = tp_q["layers"]["attn"]
+    assert attn["q_proj"]["kernel_q"].sharding.spec == P(None, None, TENSOR_AXIS)
+    assert attn["q_proj"]["scale"].sharding.spec == P(None, None, TENSOR_AXIS)
+    assert attn["o_proj"]["kernel_q"].sharding.spec == P(None, TENSOR_AXIS, None)
+
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 3], seed=41)
+    # reference: single-device engine on the SAME quantized weights
+    ref_eng = ContinuousBatchingEngine(
+        dec, qparams, slots=2, max_len=32, steps_per_sync=3, config=gcfg, length_bucket=4
+    )
+    refs = ref_eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
+    eng = ContinuousBatchingEngine(
+        dec, tp_q, slots=2, max_len=32, steps_per_sync=3, config=gcfg,
+        length_bucket=4, mesh=mesh,
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
+    for i in range(len(prompts)):
+        assert np.array_equal(results[f"r{i}"].token_ids, refs[f"r{i}"].token_ids), i
+
+
+def test_engine_under_sequence_parallel_mesh(decoder_and_params):
+    """Continuous batching WITH the sp-sharded KV cache (the two headline
+    serving capabilities composed): per-slot pointer vectors replicate, only
+    the cache's rows dim shards over sp, per-row causal offsets ride into the
+    cross-chip softmax merge — outputs identical to the single-device engine
+    across mixed budgets and slot reuse (incl. speculative gamma>0, whose
+    T=gamma+1 verify needs the per-row offsets)."""
+    from merv_tpu.parallel import MeshConfig, build_mesh
+
+    dec, params = decoder_and_params
+    dec_sp = dataclasses.replace(dec, cfg=dataclasses.replace(dec.cfg, sequence_parallel=True))
+    mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=1, seq=2))
+
+    gcfg = GenerationConfig(max_new_tokens=10, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 3, 9, 2], seed=31)
+    budgets = [10, 4, 7, 10]
+    refs = []
+    for p, b in zip(prompts, budgets):
+        c = dataclasses.replace(gcfg, max_new_tokens=b)
+        refs.append(np.asarray(generate(dec, params, input_ids=jnp.asarray(p[None]), config=c)[0]))
+
+    for gamma in (0, 2):
+        eng = ContinuousBatchingEngine(
+            dec_sp, params, slots=2, max_len=32, steps_per_sync=3, config=gcfg,
+            length_bucket=4, mesh=mesh, speculative_gamma=gamma,
+        )
+        from merv_tpu.parallel.mesh import SEQ_AXIS
+
+        # the cache's rows dim is genuinely sharded over sp
+        spec = eng._cache.k.sharding.spec
+        assert spec[3] == SEQ_AXIS, spec
+        results = eng.run(
+            [Request(f"r{i}", input_ids=p, max_new_tokens=b)
+             for i, (p, b) in enumerate(zip(prompts, budgets))]
         )
         for i, ref in enumerate(refs):
             assert np.array_equal(results[f"r{i}"].token_ids, ref), (gamma, i)
