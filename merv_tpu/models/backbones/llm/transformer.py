@@ -411,12 +411,6 @@ class LlamaDecoder:
 
         sp_mesh = self._sp_mesh(T) if (cache_kv is None and kv_mask is None) else None
         sp_serve_mesh = self._sp_serve_mesh(k.shape[2]) if cache_kv is not None else None
-        if cache_kv is not None and per_slot and sp_serve_mesh is not None:
-            raise NotImplementedError(
-                "per-slot cache lengths (continuous batching) are not supported "
-                "under the sp-sharded KV cache; serve long-context requests "
-                "through generate_ids(mesh=...) instead"
-            )
         if sp_mesh is not None:
             from merv_tpu.ops.ring_attention import ring_attention
 
@@ -427,7 +421,11 @@ class LlamaDecoder:
         elif sp_serve_mesh is not None:
             # serving with an sp-SHARDED KV cache (long-video contexts): the
             # cache never moves — queries replicate, each chip attends its
-            # cache shard, partials merge via the cross-chip online-softmax
+            # cache shard, partials merge via the cross-chip online-softmax.
+            # ``cache_len`` may be the engine's per-slot [B] pointer vector
+            # (continuous batching x sp-sharded cache): pointers replicate,
+            # only the cache's sequence dim shards, and the per-row causal
+            # offset rides into the shard_map body
             from merv_tpu.ops.ring_attention import sharded_cache_attention
 
             out = sharded_cache_attention(

@@ -427,9 +427,12 @@ def sharded_cache_attention(
 
     q [B, H, T, D] (replicated over sp); k/v [B, Hk, L, D] sharded on dim 2;
     kv_mask [B, L] (sharded on dim 1) marks valid cache positions; q_offset
-    (traced scalar) is query row 0's absolute cache position — causal
-    masking is ``k_pos <= q_offset + i`` exactly like the XLA cache path
-    (``attention(..., q_offset=cache_len)``).
+    (traced scalar, or a [B] vector for per-slot continuous-batching caches)
+    is each row's query-0 absolute cache position — causal masking is
+    ``k_pos <= q_offset[b] + i`` exactly like the XLA cache path
+    (``attention(..., q_offset=cache_len)``). Per-slot offsets compose the
+    continuous-batching engine with the sp-sharded cache: pointers replicate,
+    only the cache's sequence dim shards.
     """
     B, H, T, D = q.shape
     Hk, L = k.shape[1], k.shape[2]
@@ -462,9 +465,11 @@ def sharded_cache_attention(
             vc = jnp.repeat(vc, q.shape[1] // vc.shape[1], axis=1)
         idx = jax.lax.axis_index(sp_axis)
         k_pos = idx * Lloc + jnp.arange(Lloc, dtype=jnp.int32)
-        q_pos = qoff[0] + jnp.arange(T, dtype=jnp.int32)
+        q_pos = qoff[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B, T]
         s = jnp.einsum("bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32) * scale
-        valid = mask_c[:, None, None, :] & (k_pos[None, :] <= q_pos[:, None])[None, None]
+        valid = mask_c[:, None, None, :] & (
+            k_pos[None, None, :] <= q_pos[:, :, None]
+        )[:, None]
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1)
         p = jnp.exp(s - m[..., None]) * valid.astype(jnp.float32)
@@ -477,10 +482,12 @@ def sharded_cache_attention(
         o_g = jax.lax.psum(o * alpha[..., None], sp_axis)
         return (o_g / jnp.maximum(l_g, 1e-30)[..., None]).astype(q.dtype)
 
-    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    # scalar offsets broadcast to a per-row vector (sharded with the batch):
+    # one shard_map body serves both the lockstep and the per-slot cache
+    qoff = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32).reshape(-1), (B,))
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(qspec, kvspec, kvspec, mspec, P()),
+        in_specs=(qspec, kvspec, kvspec, mspec, P(bspec_p)),
         out_specs=qspec,
         check_vma=False,
     )(q, k, v, kv_mask, qoff)
