@@ -1,6 +1,6 @@
 # Developer entry points (analogue of the reference's Makefile check/autoformat)
 
-.PHONY: test test-fast check bench smoke native clean
+.PHONY: test test-fast check bench smoke native clean memproof
 
 test:
 	python -m pytest tests/ -q
@@ -19,6 +19,13 @@ bench:
 
 smoke:
 	python scripts/tpu_smoke.py
+
+# compiler-verified HBM guards: fail if the v5e-8 training recipes or the
+# single-chip 7B serving engine stop fitting 16 GiB/device (the finetune fit
+# is razor-thin — re-run after ANY train_step/transformer change)
+memproof:
+	python scripts/memory_proof.py --stage both --pdbs 2
+	python scripts/memory_proof.py --stage serving --llm 7b --slots 8 --max-len 2048
 
 native:
 	python -c "from merv_tpu.native import get_lib; get_lib(); print('native videodec built')"

@@ -238,15 +238,23 @@ def llm_tensor_parallel_rules() -> PartitionRules:
     return PartitionRules(
         [
             # attention: shard heads (output dim of q/k/v kernels, input of o)
-            (r"attn/(q|k|v)_proj/kernel$", P(None, None, TENSOR_AXIS)),
+            (r"attn/(q|k|v)_proj/kernel(_q)?$", P(None, None, TENSOR_AXIS)),
             (r"attn/(q|k|v)_proj/bias$", P(None, TENSOR_AXIS)),
-            (r"attn/o_proj/kernel$", P(None, TENSOR_AXIS, None)),
+            (r"attn/o_proj/kernel(_q)?$", P(None, TENSOR_AXIS, None)),
             # mlp: shard ffn dim
-            (r"mlp/(gate|up)_proj/kernel$", P(None, None, TENSOR_AXIS)),
-            (r"mlp/down_proj/kernel$", P(None, TENSOR_AXIS, None)),
+            (r"mlp/(gate|up)_proj/kernel(_q)?$", P(None, None, TENSOR_AXIS)),
+            (r"mlp/down_proj/kernel(_q)?$", P(None, TENSOR_AXIS, None)),
+            # weight-only int8 serving (nn/quantization.py): per-output-channel
+            # scales [L, 1, out] follow their kernel's OUTPUT dim — column-
+            # parallel scales shard with the heads/ffn split; row-parallel
+            # kernels (o/down) keep full output channels per chip, so their
+            # scales replicate (the default)
+            (r"attn/(q|k|v)_proj/scale$", P(None, None, TENSOR_AXIS)),
+            (r"mlp/(gate|up)_proj/scale$", P(None, None, TENSOR_AXIS)),
             # embeddings / lm head: shard vocab (unstacked)
             (r"embed_tokens/embedding$", P(TENSOR_AXIS, None)),
-            (r"lm_head/kernel$", P(None, TENSOR_AXIS)),
+            (r"lm_head/kernel(_q)?$", P(None, TENSOR_AXIS)),
+            (r"lm_head/scale$", P(None, TENSOR_AXIS)),
         ],
         default=None,
     )

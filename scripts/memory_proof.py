@@ -257,9 +257,142 @@ def lower_stage(
     return compiled, info
 
 
+def lower_serving(
+    llm_size: str, num_layers: int, slots: int, max_len: int,
+    steps_per_sync: int = 8, int8_weights: bool = True, int8_kv: bool = False,
+    bucket: int = 1024, spec_gamma: int = 0, tensor: int = 1,
+) -> Dict[str, Any]:
+    """AOT-lower the continuous-batching engine's REAL programs — the decode
+    chunk (``serving/engine.py::_decode_chunk``) and the bucket prefill
+    (``_llm_prefill``) — at full depth with the production serving weight
+    layout (packed q/k/v + gate/up, optional weight-only int8), and report
+    per-device HBM. Closes the "does 13B *serving* fit one v5e?" question the
+    training proofs left open (13B int8 weights ~= 13 GB; reference 13B config
+    ``/root/reference/merv/conf/models.py:189-192``). ``tensor>1`` lowers the
+    SAME programs under the engine's tensor-parallel serving mode (Megatron
+    head-split params, kv-head-sharded slot cache — serving/engine.py mesh
+    branch) and reports PER-CHIP memory."""
+    from merv_tpu.models.backbones.llm.transformer import (
+        LLAMA2_7B, LLAMA2_13B, KVCache, LlamaDecoder, pack_serving_params,
+    )
+    from merv_tpu.models.generation import GenerationConfig
+    from merv_tpu.nn.quantization import quantize_tree
+    from merv_tpu.serving.engine import _decode_chunk, _decode_chunk_spec, _llm_prefill
+
+    base = LLAMA2_13B if llm_size == "13b" else LLAMA2_7B
+    if num_layers > 0:
+        base = dataclasses.replace(base, num_layers=num_layers)
+    cfg = dataclasses.replace(base, param_dtype=jnp.bfloat16)
+    dec = LlamaDecoder(cfg)
+
+    def assemble(p):
+        # TP keys on unpacked q/k/v paths (load_vid auto-disables packing)
+        if tensor <= 1:
+            p = pack_serving_params(p)
+        return quantize_tree(p) if int8_weights else p
+
+    params = jax.eval_shape(lambda: assemble(dec.init(jax.random.PRNGKey(0))))
+
+    mesh = None
+    if tensor > 1:
+        from merv_tpu.parallel import MeshConfig, build_mesh, llm_tensor_parallel_rules
+        from merv_tpu.parallel.mesh import TENSOR_AXIS
+        from merv_tpu.parallel.sharding import path_str
+
+        mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=tensor))
+        rules = llm_tensor_parallel_rules()
+
+        def place(path, leaf):
+            s = rules.spec_for(path_str(path), leaf)
+            return sds(leaf.shape, leaf.dtype, NamedSharding(mesh, s if s is not None else P()))
+
+        params = jax.tree_util.tree_map_with_path(place, params)
+
+    def per_device_gib(tree):
+        total = 0
+        for s in jax.tree_util.tree_leaves(tree):
+            shape = (
+                s.sharding.shard_shape(s.shape)
+                if getattr(s, "sharding", None) is not None
+                else s.shape
+            )
+            total += int(np.prod(shape)) * s.dtype.itemsize
+        return total / GIB
+
+    weight_gib = per_device_gib(params)
+
+    gcfg = GenerationConfig(
+        max_new_tokens=128, eos_token_id=2, pad_token_id=0,
+        kv_cache_dtype="int8" if int8_kv else None,
+    )
+    cache_dtype = jnp.int8 if int8_kv else cfg.compute_dtype
+    rows = max_len + (spec_gamma + 1 if spec_gamma else 0)
+    cache = jax.eval_shape(lambda: KVCache.create(cfg, slots, rows, dtype=cache_dtype))
+    cache = cache._replace(length=sds((slots,), jnp.int32))
+    if mesh is not None:
+        from merv_tpu.parallel.mesh import TENSOR_AXIS
+
+        hspec = NamedSharding(mesh, P(None, None, TENSOR_AXIS, None, None))
+        repl = NamedSharding(mesh, P())
+
+        def reshard(s, sh):
+            return None if s is None else sds(s.shape, s.dtype, sh)
+
+        cache = KVCache(
+            reshard(cache.k, hspec), reshard(cache.v, hspec),
+            reshard(cache.length, repl),
+            reshard(cache.k_scale, hspec), reshard(cache.v_scale, hspec),
+        )
+    rng = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+    last_tok, done = sds((slots,), jnp.int32), sds((slots,), jnp.bool_)
+
+    t0 = time.time()
+    if spec_gamma:
+        hc = max_len + 2 * spec_gamma + 8
+        decode_c = _decode_chunk_spec.lower(
+            dec, params, cache, last_tok, done, gcfg, steps_per_sync,
+            spec_gamma, 2, sds((slots, hc), jnp.int32), sds((slots,), jnp.int32), rng,
+        ).compile()
+    else:
+        decode_c = _decode_chunk.lower(
+            dec, params, cache, last_tok, done, gcfg, steps_per_sync, rng,
+        ).compile()
+    prefill_c = jax.jit(_llm_prefill, static_argnums=(0, 2)).lower(
+        dec, params, gcfg, sds((1, bucket), jnp.int32), sds((1, bucket), jnp.int32), rng,
+    ).compile()
+    t_compile = time.time() - t0
+
+    def peak(c):
+        ma = c.memory_analysis()
+        # donated buffers (cache) alias outputs on TPU
+        return (ma.argument_size_in_bytes + ma.temp_size_in_bytes) / GIB
+
+    decode_gib, prefill_gib = peak(decode_c), peak(prefill_c)
+    worst = max(decode_gib, prefill_gib)
+    info = {
+        "stage": "serving",
+        "llm": llm_size,
+        "llm_layers": cfg.num_layers,
+        "tensor": tensor,
+        "int8_weights": int8_weights,
+        "int8_kv": int8_kv,
+        "slots": slots,
+        "max_len": max_len,
+        "prefill_bucket": bucket,
+        "spec_gamma": spec_gamma,
+        "weights_gib": round(weight_gib, 2),
+        "decode_chunk_gib": round(decode_gib, 2),
+        "prefill_gib": round(prefill_gib, 2),
+        "estimated_peak_donated_gib": worst,
+        "fits_16gib": worst <= V5E_HBM_GIB,
+        "compile_s": round(t_compile, 1),
+    }
+    return info
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", default="both", choices=["align", "finetune", "both"])
+    ap.add_argument("--stage", default="both", choices=["align", "finetune", "both", "serving"])
     ap.add_argument("--model", default="merv-full")
     ap.add_argument("--llm", default="7b", choices=["7b", "13b"])
     ap.add_argument("--llm-layers", type=int, default=0, help="0 = chosen LLM's full depth")
@@ -269,8 +402,38 @@ def main() -> int:
     ap.add_argument("--devices", type=int, default=8, help="virtual device count (v5e-8, v5e-16, ...)")
     ap.add_argument("--mesh-pipe", type=int, default=1, help="pipeline stages ('pp' axis)")
     ap.add_argument("--mesh-seq", type=int, default=1, help="sequence-parallel ring size ('sp' axis)")
+    ap.add_argument("--mesh-tensor", type=int, default=1, help="serving: tensor-parallel width")
+    ap.add_argument("--slots", type=int, default=8, help="serving: engine decode slots")
+    ap.add_argument("--max-len", type=int, default=2048, help="serving: per-slot prompt+output bound")
+    ap.add_argument("--prefill-bucket", type=int, default=2048, help="serving: largest prefill bucket")
+    ap.add_argument("--spec-gamma", type=int, default=0, help="serving: speculative draft length")
+    ap.add_argument("--no-int8-weights", action="store_true", help="serving: bf16 weights")
+    ap.add_argument("--int8-kv", action="store_true", help="serving: int8 KV cache")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
+
+    if args.stage == "serving":
+        info = lower_serving(
+            args.llm, args.llm_layers, args.slots, args.max_len,
+            int8_weights=not args.no_int8_weights, int8_kv=args.int8_kv,
+            bucket=args.prefill_bucket, spec_gamma=args.spec_gamma,
+            tensor=args.mesh_tensor,
+        )
+        print(
+            f"[serving ] {info['llm']} x{info['llm_layers']}L tp={info['tensor']} "
+            f"weights={info['weights_gib']:.2f} GiB  "
+            f"decode={info['decode_chunk_gib']:.2f} GiB  prefill={info['prefill_gib']:.2f} GiB  "
+            f"(slots={info['slots']}, max_len={info['max_len']}, "
+            f"int8_w={info['int8_weights']}, int8_kv={info['int8_kv']}, "
+            f"compile {info['compile_s']}s)  fits16={info['fits_16gib']}",
+            file=sys.stderr,
+        )
+        summary = {"model": "llm-serving", "llm": args.llm, "stages": [info]}
+        print(json.dumps(summary))
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(summary, f, indent=2)
+        return 0 if info["fits_16gib"] else 1
 
     model, transforms, cfg = build_flagship(
         args.model, args.llm_layers, llm_size=args.llm,
