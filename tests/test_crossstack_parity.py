@@ -505,6 +505,83 @@ def test_concat_channel_ln_avg_mlp():
     assert abs(float(ref_out.loss) - float(our_out["loss"])) < 1e-4 * max(1.0, abs(float(ref_out.loss)))
 
 
+def test_flagship_gradient_parity():
+    """Cross-stack GRADIENT parity: ``torch.autograd`` through the reference's
+    composed ``MERV.forward`` loss vs ``jax.grad`` of ours, on shared weights
+    (reference training semantics ``merv/training/strategies/base_strategy.py:
+    208-271`` reduce to mean-CE backprop per micro-batch; freezing and
+    accumulation are pinned by our own training tests). The reference
+    gradients route back through our production importers — they are linear
+    maps (transposes/reshapes), so a gradient state dict converts exactly
+    like a weight state dict. A sign error or wrong projection in ANY module
+    (projector, fusion, splice, decoder, lm head) would show here."""
+    ref_model, our_model, params = _build_pair("no-align+3davg+linear", "cross_attention_avg_lq")
+    input_ids, attention_mask, labels, videos, mm_idx, is_image = _mixed_batch()
+
+    # --- reference side: backprop the composed loss
+    out = ref_model.forward(
+        input_ids=torch.from_numpy(input_ids),
+        attention_mask=torch.from_numpy(attention_mask),
+        video_values=[torch.from_numpy(v) for v in videos],
+        labels=torch.from_numpy(labels),
+        is_image=torch.from_numpy(is_image),
+        multimodal_indices=torch.from_numpy(mm_idx),
+    )
+    out.loss.backward()
+
+    def grad_dict(module):
+        return {
+            k: (p.grad if p.grad is not None else torch.zeros_like(p)).detach().clone()
+            for k, p in module.named_parameters()
+        }
+
+    hf = ref_model.llm_backbone.llm
+    gckpt = {"model": {
+        "projectors": grad_dict(ref_model.projectors),
+        "feature_fusion": grad_dict(ref_model.feature_fusion),
+    }}
+    ref_grads = import_merv_checkpoint(
+        our_model, gckpt, param_dtype=jnp.float32, llm_param_dtype=jnp.float32
+    )
+    ref_grads["llm_backbone"] = import_llama_state_dict(
+        TINY, grad_dict(hf), param_dtype=jnp.float32
+    )
+
+    # --- our side: jax.grad of the same loss on the same weights
+    B = input_ids.shape[0]
+    is_mm = np.zeros(B, bool)
+    is_mm[mm_idx] = True
+
+    def loss_fn(p):
+        o = our_model.forward(
+            p, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+            [jnp.asarray(v) for v in videos], labels=jnp.asarray(labels),
+            is_image=jnp.asarray(is_image), is_multimodal=jnp.asarray(is_mm),
+        )
+        return o["loss"]
+
+    our_grads = jax.grad(loss_fn)(params)
+
+    # --- compare per module, relative to each tensor's own gradient scale
+    def check(ref_tree, our_tree, name):
+        ref_leaves, treedef_r = jax.tree_util.tree_flatten_with_path(ref_tree)
+        our_map = dict(jax.tree_util.tree_flatten_with_path(our_tree)[0])
+        assert ref_leaves, name
+        for path, g_ref in ref_leaves:
+            g_ref = np.asarray(g_ref, np.float64)
+            g_our = np.asarray(our_map[path], np.float64)
+            assert g_ref.shape == g_our.shape, (name, path)
+            scale = max(1e-6, np.abs(g_ref).max())
+            diff = np.abs(g_ref - g_our).max()
+            assert diff <= 1e-4 * max(1.0, scale), (
+                f"{name}{jax.tree_util.keystr(path)}: grad diff {diff} (scale {scale})"
+            )
+
+    check(ref_grads["projectors"], our_grads["projectors"], "projectors")
+    check(ref_grads["feature_fusion"], our_grads["feature_fusion"], "feature_fusion")
+    check(ref_grads["llm_backbone"], our_grads["llm_backbone"], "llm_backbone")
+
+
 def test_no_bos_splice():
     """Qwen-style bos_token_length == 0: visual tokens spliced at position 0
     (reference merv.py:521,633-650)."""

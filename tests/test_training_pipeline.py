@@ -209,6 +209,55 @@ def test_end_to_end_training_steps(tmp_path, mesh8):
     assert all(np.isfinite(m["Align/Loss"]) for m in logged)
 
 
+def test_training_overfits_tiny_dataset(tmp_path, mesh8):
+    """LEARNING, not just finiteness: 50 finetune steps on the 8-example
+    fixture must drive the loss down by >50%. A sign error, a wrong trainable
+    mask, or a broken schedule produces finite-but-flat losses that
+    ``test_end_to_end_training_steps``'s isfinite assertions cannot catch
+    (reference training semantics: ``merv/training/strategies/
+    base_strategy.py:208-271``)."""
+    from merv_tpu.training import Metrics, get_train_strategy
+
+    model = _model()
+    model.freeze_backbones("finetune")  # projectors + fusion + LLM trainable
+    # all-video fixture: one modality bucket, so the bit-parity
+    # SplitModalitySampler's divisibility contract holds at gbs=8
+    ann, media, _ = _write_fixture_dataset(tmp_path, n_video=8, n_image=0, n_text=0)
+    transforms = [vb.get_video_transform() for vb in model.video_backbones]
+    num_frames = [vb.num_frames for vb in model.video_backbones]
+    ds = FinetuneVideoDataset(
+        ann, media, media, transforms, model.llm_backbone.tokenizer,
+        prompt_builder_fn=model.llm_backbone.prompt_builder_fn,
+        num_frames=num_frames,
+    )
+    collator = PaddedCollatorForLanguageModeling(
+        64, model.llm_backbone.pad_token_id, host_video_resolutions(transforms, num_frames)
+    )
+
+    strategy = get_train_strategy(
+        "fsdp-full-shard", model, stage="finetune", epochs=100, max_steps=50,
+        global_batch_size=8, per_device_batch_size=1,
+        learning_rate=3e-3, weight_decay=0.0, max_grad_norm=1.0,
+        lr_scheduler_type="constant", warmup_ratio=0.0,
+        mesh=mesh8,
+    )
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    strategy.run_setup(run_dir, n_train_examples=len(ds), video_transforms=transforms, seed=0)
+    metrics = Metrics(("jsonl",), "overfit-run", run_dir, {}, "finetune",
+                      grad_accumulation_steps=1, total_steps=50)
+    strategy.run_training(ds, collator, metrics, stage="finetune", seed=0, run_dir=run_dir)
+    metrics.finalize()
+
+    logged = [json.loads(line) for line in (run_dir / "overfit-run.jsonl").read_text().splitlines()]
+    losses = [m["Finetune/Loss"] for m in logged if "Finetune/Loss" in m]
+    assert len(losses) >= 40, f"expected ~50 logged steps, got {len(losses)}"
+    head = float(np.mean(losses[:3]))
+    tail = float(np.mean(losses[-3:]))
+    assert np.isfinite(head) and np.isfinite(tail)
+    assert tail < 0.5 * head, f"loss did not learn: first~{head:.4f} last~{tail:.4f}"
+
+
 def test_checkpoint_save_load_roundtrip(tmp_path, mesh8):
     from merv_tpu.training.checkpointing import latest_checkpoint, load_checkpoint, save_checkpoint
 
