@@ -268,6 +268,8 @@ class VisionTransformer:
         # a regression in the LLM (the concat re-materializes scanned weights
         # every layer — see transformer.py:_layer). Separate GEMMs read the
         # stacked weights in place; measured on v5e 2026-08.
+        import os
+
         c = self.cfg
         B, S, D = x.shape
         H, Dh = c.num_heads, c.head_dim
@@ -276,7 +278,12 @@ class VisionTransformer:
             S, S, Dh, causal=False, has_bias=False, has_q_offset=False,
             on_tpu=can_use_pallas(), self_shaped=True,
         )
-        if plan == "small":
+        # experiment override for the tower-attention gap hunt (BASELINE.md
+        # round-4): "small" pins the Pallas kernel, "xla_kt" the pure-XLA
+        # softmax chain on the same transpose-free kt layout, "xla" the plain
+        # linear+transpose XLA path
+        plan = os.environ.get("MERV_TPU_TOWER_ATTN", plan)
+        if plan in ("small", "xla_kt"):
             # TRANSPOSE-FREE path: the projection einsums write q/v directly
             # in [B, H, S, Dh] and k in [B, H, Dh, S] (the GEMM's output
             # layout carries the head split), and the kt-kernel consumes k
@@ -293,7 +300,15 @@ class VisionTransformer:
             q = proj(lp["q_proj"], "bsd,dhk->bhsk", (H, 1, Dh))
             kt = proj(lp["k_proj"], "bsd,dhk->bhks", (H, Dh, 1))
             v = proj(lp["v_proj"], "bsd,dhk->bhsk", (H, 1, Dh))
-            out = small_attention_kt(q, kt, v, Dh ** -0.5)
+            if plan == "xla_kt":
+                # pure-XLA softmax chain on the same layout: no pallas_call
+                # boundary, XLA free to fuse with neighbors
+                s = jnp.einsum("bhqd,bhdk->bhqk", q, kt,
+                               preferred_element_type=jnp.float32) * (Dh ** -0.5)
+                p = jax.nn.softmax(s, axis=-1)
+                out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+            else:
+                out = small_attention_kt(q, kt, v, Dh ** -0.5)
             y = jnp.einsum("bhsk,hkd->bsd", out, lp["o_proj"]["kernel"].astype(x.dtype).reshape(H, Dh, D))
             if "bias" in lp["o_proj"]:
                 y = y + lp["o_proj"]["bias"].astype(x.dtype)

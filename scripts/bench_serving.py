@@ -129,6 +129,107 @@ def _phase(phase: str) -> dict:
         eng.run(list(reqs))
         return time.perf_counter() - t0, eng.stats
 
+    if phase == "spec_curve":
+        # Speculative decoding's value proposition, characterized (round-4
+        # verdict item 4): (a) the COST side — per-step time of the [B,g+1]
+        # verify vs a plain decode step, measured with all slots live and no
+        # admission churn; its ratio IS the break-even acceptance (tokens/step
+        # needed to not lose); (b) the REALIZED side — engine runs at growing
+        # budgets (longer generations spend more steps inside greedy cycles,
+        # where prompt-lookup drafts accept) give measured (acceptance,
+        # speedup) pairs on this exact implementation.
+        import dataclasses as _dc
+
+        from merv_tpu.models.backbones.llm.transformer import KVCache
+        from merv_tpu.serving.engine import _decode_chunk, _decode_chunk_spec
+
+        rows = max_len + 16
+        cache_dtype = jnp.int8 if int8_kv else decoder.cfg.compute_dtype
+        rng = np.random.RandomState(7)
+        lengths_np = rng.randint(32, 96, (slots,)).astype(np.int32)
+        last = jnp.asarray(rng.randint(4, 1000, (slots,)), jnp.int32)
+        done = jnp.zeros((slots,), bool)
+        key = jax.random.PRNGKey(0)
+        hist_np = rng.randint(4, 1000, (slots, rows + 24)).astype(np.int32)
+        hist_len_np = rng.randint(16, 64, (slots,)).astype(np.int32)
+
+        def time_steps(g: int) -> float:
+            n_chunks, best = 4, float("inf")
+            for _ in range(3):  # first rep compiles
+                t0 = time.perf_counter()
+                # donated buffers (cache incl. its length leaf, hist,
+                # hist_len) must be fresh arrays every call
+                c = KVCache.create(decoder.cfg, slots, rows, dtype=cache_dtype)
+                lt, dn = last, done
+                h, hl = jnp.asarray(hist_np), jnp.asarray(hist_len_np)
+                for _ in range(n_chunks):
+                    # reset pointers so nothing walks off the buffer
+                    c = c._replace(length=jnp.asarray(lengths_np))
+                    if g:
+                        _, _, c, lt, dn, h, hl = _decode_chunk_spec(
+                            decoder, params, c, lt, dn, gcfg, steps_per_sync,
+                            g, 2, h, hl, key,
+                        )
+                    else:
+                        _, c, lt, dn = _decode_chunk(
+                            decoder, params, c, lt, dn, gcfg, steps_per_sync, key,
+                        )
+                jax.block_until_ready(lt)
+                best = min(best, time.perf_counter() - t0)
+            return best / (n_chunks * steps_per_sync)
+
+        t_plain = time_steps(0)
+        curve = []
+        for g in (2, 4, 8):
+            t_g = time_steps(g)
+            curve.append({
+                "gamma": g,
+                "step_ms": round(t_g * 1e3, 3),
+                "overhead_x": round(t_g / t_plain, 3),
+                # acceptance (tokens/step) needed to break even at this gamma
+                "break_even_tokens_per_step": round(t_g / t_plain, 3),
+                # projected speedup at the verdict's acceptance grid
+                "speedup_at": {
+                    str(a): round(a * t_plain / t_g, 3)
+                    for a in (1.0, 1.5, 2.0, 3.0, g + 1)
+                },
+            })
+        out.update(plain_step_ms=round(t_plain * 1e3, 3), curve=curve)
+
+        # realized side: same prompt set, growing budgets; greedy cycles on
+        # fixed weights raise realized acceptance with budget
+        realized = []
+        for budget in (16, 64, 96):
+            wl = [
+                Request(f"c{i}", input_ids=r.input_ids, max_new_tokens=min(budget, max_len - len(r.input_ids)))
+                for i, r in enumerate(reqs)
+            ]
+
+            def run_wl(spec: int):
+                eng = ContinuousBatchingEngine(
+                    decoder, params, slots=slots, max_len=max_len,
+                    steps_per_sync=steps_per_sync, config=gcfg, length_bucket=16,
+                    speculative_gamma=spec,
+                )
+                t0 = time.perf_counter()
+                eng.run([_dc.replace(r) for r in wl])
+                return time.perf_counter() - t0, eng.stats
+
+            run_wl(gamma); run_wl(0)  # compile
+            spec_s, sstats = min((run_wl(gamma) for _ in range(2)), key=lambda x: x[0])
+            plain_s, _ = min((run_wl(0) for _ in range(2)), key=lambda x: x[0])
+            tot = sum(r.max_new_tokens for r in wl)
+            realized.append({
+                "budget": budget,
+                "gamma": gamma,
+                "tokens_per_step": round(sstats.tokens_per_step, 3),
+                "spec_tok_s": round(tot / spec_s, 2),
+                "plain_tok_s": round(tot / plain_s, 2),
+                "speedup": round(plain_s / spec_s, 3),
+            })
+        out["realized"] = realized
+        return out
+
     if phase == "group":
         run_group()  # compile
         out["group_s"] = min(run_group() for _ in range(2))
@@ -165,7 +266,18 @@ def main() -> None:
         if proc.returncode != 0:
             sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
             raise SystemExit(f"phase {ph} failed (rc={proc.returncode})")
-        parts[ph] = json.loads(proc.stdout.strip().splitlines()[-1])
+        # scan stdout in reverse for the result line: a child may print
+        # warnings after (or instead of) the JSON, and rc==0 with no JSON
+        # should name the failing phase rather than die in the merge
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                parts[ph] = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        else:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise SystemExit(f"phase {ph} printed no JSON result line")
 
     total_tokens = parts["group"]["total_new_tokens"]
     group_s = parts["group"]["group_s"]
