@@ -38,6 +38,7 @@ from merv_tpu.ops.attention import (
     attention,
     can_use_pallas,
     dispatch_plan,
+    packed_temporal_attention,
     small_attention_kt,
 )
 from merv_tpu.parallel.sharding import constrain_batch_dim
@@ -337,6 +338,27 @@ class VisionTransformer:
         c = self.cfg
         Bn, F, Dm = x.shape
         H, dh = c.num_heads, c.head_dim
+        R = F * H
+        if can_use_pallas() and R % 128 == 0 and dh % 16 == 0:
+            # Fused kernel path: the XLA form below materializes a [Bn, R, R]
+            # f32 score+bias tensor through HBM every layer (~135 MB at
+            # LanguageBind scale); packed_temporal_attention keeps scores +
+            # interleaved-head mask + softmax in VMEM. Projections stay
+            # transpose-free: q/v rows (f, h) are a pure reshape of the GEMM
+            # output, kt comes straight out of the k-proj einsum in [dh, R].
+            def proj(p, eq, bshape):
+                y = jnp.einsum(eq, x, p["kernel"].astype(x.dtype).reshape(Dm, H, dh))
+                if "bias" in p:
+                    y = y + p["bias"].reshape(bshape).astype(x.dtype)
+                return y
+
+            q = proj(lp["q_proj"], "bfd,dhk->bfhk", (1, H, dh)).reshape(Bn, R, dh)
+            kt = proj(lp["k_proj"], "bfd,dhk->bkfh", (dh, 1, H)).reshape(Bn, dh, R)
+            v = proj(lp["v_proj"], "bfd,dhk->bfhk", (1, H, dh)).reshape(Bn, R, dh)
+            out = packed_temporal_attention(q, kt, v, dh ** -0.5, H)
+            out = out.reshape(Bn, F, Dm)
+            return Linear(Dm, Dm, param_dtype=c.param_dtype)(lp["o_proj"], out)
+
         lin = Linear(Dm, Dm, param_dtype=c.param_dtype)
         # FRAME-major packed rows [Bn, 1, F*H, dh]: a pure reshape of the
         # projection output ([Bn, F, Dm] -> rows (f, h)) — no head transpose

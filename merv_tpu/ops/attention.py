@@ -573,6 +573,95 @@ def _small_attention_kt_bwd_rule(scale, res, g):
 small_attention_kt.defvjp(_small_attention_kt_fwd_rule, _small_attention_kt_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Packed temporal attention (LanguageBind per-layer frame attention)
+# ---------------------------------------------------------------------------
+
+
+def _packed_temporal_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, heads: int):
+    """One packed window: rows are (frame, head) pairs (row r's head is
+    ``r % heads``); a query row attends exactly its own head's frame rows.
+    Scores + interleaved-head mask + softmax + PV all stay in VMEM — the XLA
+    bias path this replaces materialized a [Bn, R, R] f32 score tensor
+    (~135 MB/layer at LanguageBind scale) through HBM twice per layer."""
+    q = q_ref[0]  # [R, D]
+    kt = kt_ref[0]  # [D, R]
+    v = v_ref[0]  # [R, D]
+    R = q.shape[0]
+    s = jax.lax.dot_general(
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    row_h = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (R, R), 0), heads)
+    col_h = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (R, R), 1), heads)
+    s = jnp.where(row_h == col_h, s, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def packed_temporal_attention(q: Array, kt: Array, v: Array, scale: float, heads: int) -> Array:
+    """Fused head-interleaved packed attention: q/v [Bn, R, D], kt [Bn, D, R],
+    R = frames*heads rows ordered (frame, head). Row r attends rows r' with
+    ``r % heads == r' % heads`` — the LanguageBind temporal-attention packing
+    (``vit.py::_mha_time_packed``), mask computed IN-KERNEL instead of as a
+    [R, R] f32 bias tensor the XLA path streamed through HBM.
+    Backward recomputes via the XLA reference (LanguageBind towers are frozen
+    in every reference training stage)."""
+    return _packed_temporal_fwd_impl(q, kt, v, scale, heads)
+
+
+def _packed_temporal_fwd_impl(q: Array, kt: Array, v: Array, scale: float, heads: int) -> Array:
+    Bn, R, D = q.shape
+    assert kt.shape == (Bn, D, R) and v.shape == q.shape, (q.shape, kt.shape, v.shape)
+    kernel = functools.partial(_packed_temporal_kernel, scale=scale, heads=heads)
+    return pl.pallas_call(
+        kernel,
+        grid=(Bn,),
+        in_specs=[
+            pl.BlockSpec((1, R, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, D, R), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, R, D), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, R, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bn, R, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)) if _PALLAS_TPU else None,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Bn * R * R * D,
+            bytes_accessed=(q.size * 4) * q.dtype.itemsize,
+            transcendentals=Bn * R * R,
+        ),
+        interpret=_INTERPRET,
+    )(q, kt, v)
+
+
+def _packed_temporal_reference(q: Array, kt: Array, v: Array, scale: float, heads: int) -> Array:
+    R = q.shape[1]
+    s = jnp.einsum("brd,bdc->brc", q, kt, preferred_element_type=jnp.float32) * scale
+    idx = jnp.arange(R, dtype=jnp.int32)
+    mask = (idx[:, None] % heads) == (idx[None, :] % heads)
+    s = jnp.where(mask[None], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("brc,bcd->brd", p.astype(v.dtype), v).astype(q.dtype)
+
+
+def _packed_temporal_fwd_rule(q, kt, v, scale, heads):
+    return _packed_temporal_fwd_impl(q, kt, v, scale, heads), (q, kt, v)
+
+
+def _packed_temporal_bwd_rule(scale, heads, res, g):
+    q, kt, v = res
+    _, vjp = jax.vjp(lambda q, kt, v: _packed_temporal_reference(q, kt, v, scale, heads), q, kt, v)
+    return vjp(g)
+
+
+packed_temporal_attention.defvjp(_packed_temporal_fwd_rule, _packed_temporal_bwd_rule)
+
+
 def _small_attention_fwd_rule(q, k, v, scale):
     return _small_attention_fwd_impl(q, k, v, scale), (q, k, v)
 

@@ -287,3 +287,62 @@ def test_pick_block_b_vmem_cap():
                 bb = A._pick_block_b(b, s, d)
                 assert 1 <= bb <= 8 and b % bb == 0
                 assert bb * s * d <= BUDGET or bb == 1
+
+
+def test_packed_temporal_attention_matches_reference(rng):
+    """Fused LanguageBind temporal-attention kernel (interpret mode): rows are
+    (frame, head) pairs, row r attends rows with the same head (r % H). Must
+    equal per-head attention computed independently."""
+    Bn, F, H, D = 3, 16, 8, 32
+    R = F * H
+    q = jax.random.normal(jax.random.PRNGKey(0), (Bn, R, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (Bn, R, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (Bn, R, D), jnp.float32)
+    out = A.packed_temporal_attention(q, k.swapaxes(1, 2), v, D ** -0.5, H)
+
+    # reference: unpack rows (f, h) -> per-head [Bn, H, F, D] attention
+    qh = q.reshape(Bn, F, H, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(Bn, F, H, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(Bn, F, H, D).transpose(0, 2, 1, 3)
+    ref = A.attention_reference(qh, kh, vh, scale=D ** -0.5)
+    ref = ref.transpose(0, 2, 1, 3).reshape(Bn, R, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # backward (XLA-recompute VJP) matches reference grads
+    loss_k = lambda q, kt, v: A.packed_temporal_attention(q, kt, v, D ** -0.5, H).sum()
+    loss_r = lambda q, k, v: (
+        A.attention_reference(
+            q.reshape(Bn, F, H, D).transpose(0, 2, 1, 3),
+            k.reshape(Bn, F, H, D).transpose(0, 2, 1, 3),
+            v.reshape(Bn, F, H, D).transpose(0, 2, 1, 3),
+            scale=D ** -0.5,
+        ).sum()
+    )
+    g1 = jax.grad(loss_k, argnums=(0, 1, 2))(q, k.swapaxes(1, 2), v)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]).swapaxes(1, 2), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1[2]), np.asarray(g2[2]), rtol=2e-4, atol=2e-4)
+
+
+def test_mha_time_packed_kernel_path_matches_xla(rng, monkeypatch):
+    """vit._mha_time_packed: the fused-kernel path (transpose-free einsum
+    projections + packed_temporal_attention) must equal the XLA bias path on
+    the same weights — the LanguageBind temporal branch contract."""
+    import merv_tpu.models.backbones.video.vit as V
+
+    # tiny config: H=4 heads, dh=16; F=32 frames -> R = 128 hits the kernel
+    # gate (R % 128 == 0, dh % 16 == 0)
+    cfg = V.tiny_vit_config(temporal_attn=True, temporal_frames=32)
+    F = 32
+    vit = V.VisionTransformer(cfg)
+    params = vit.init(jax.random.PRNGKey(0))
+    lp = jax.tree_util.tree_map(lambda p: p[0], params["layers"])
+    Bn, Dm = 3, cfg.hidden_size
+    x = jax.random.normal(jax.random.PRNGKey(5), (Bn, F, Dm), jnp.float32)
+
+    monkeypatch.setattr(V, "can_use_pallas", lambda: False)
+    ref = vit._mha_time_packed(lp["t_attn"], x)
+    monkeypatch.setattr(V, "can_use_pallas", lambda: True)  # interpret keeps Pallas on CPU
+    got = vit._mha_time_packed(lp["t_attn"], x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
