@@ -26,6 +26,7 @@ TPU-native design decisions:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -339,13 +340,17 @@ class VisionTransformer:
         Bn, F, Dm = x.shape
         H, dh = c.num_heads, c.head_dim
         R = F * H
-        if can_use_pallas() and R % 128 == 0 and dh % 16 == 0:
-            # Fused kernel path: the XLA form below materializes a [Bn, R, R]
-            # f32 score+bias tensor through HBM every layer (~135 MB at
-            # LanguageBind scale); packed_temporal_attention keeps scores +
-            # interleaved-head mask + softmax in VMEM. Projections stay
-            # transpose-free: q/v rows (f, h) are a pure reshape of the GEMM
-            # output, kt comes straight out of the k-proj einsum in [dh, R].
+        # Fused-kernel path, OFF by default after on-chip A/B (2026-08-19,
+        # BASELINE.md negative results): packed_temporal_attention keeps
+        # scores + the interleaved-head mask + softmax in VMEM instead of the
+        # XLA form's [Bn, R, R] f32 score+bias HBM round-trip, but the WHOLE
+        # LanguageBind tower measured 75.2 ms with it vs 65.05 ms on the XLA
+        # path — at [514, 256, 256] XLA's bias formulation fuses better than
+        # the hand kernel (second kernel attempt to lose here; see also the
+        # round-3 block-diagonal kernel). Kept opt-in for re-measurement on
+        # future hardware: MERV_TPU_TEMPORAL_KERNEL=1.
+        use_kernel = os.environ.get("MERV_TPU_TEMPORAL_KERNEL", "0") == "1"
+        if use_kernel and can_use_pallas() and R % 128 == 0 and dh % 16 == 0:
             def proj(p, eq, bshape):
                 y = jnp.einsum(eq, x, p["kernel"].astype(x.dtype).reshape(Dm, H, dh))
                 if "bias" in p:

@@ -32,6 +32,7 @@ which matters doubly on a remote-dispatch tunnel.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
@@ -92,11 +93,21 @@ class EngineStats:
     prefetch_hits: int = 0  # admissions whose host prep overlapped a decode chunk
     errors: int = 0  # requests that failed (corrupt media / over-budget / prep error)
     batched_admissions: int = 0  # admissions that shared a prefill program with others
+    admit_s: float = 0.0  # host wall time inside _admit (prefill stall: decode waits)
+    decode_s: float = 0.0  # host wall time inside decode chunks (incl. the sync)
 
     @property
     def slot_utilization(self) -> float:
         total = self.slot_steps_active + self.slot_steps_idle
         return self.slot_steps_active / total if total else 0.0
+
+    @property
+    def prefill_stall_share(self) -> float:
+        """Fraction of serving wall time decode spent waiting on admissions
+        (device prefill + any host prep the prefetcher didn't hide). The
+        chunk sync makes both spans host-attributable."""
+        total = self.admit_s + self.decode_s
+        return self.admit_s / total if total else 0.0
 
     @property
     def tokens_per_step(self) -> float:
@@ -324,6 +335,7 @@ class ContinuousBatchingEngine:
         speculative_ngram: int = 2,
         speculative_break_even: float = 1.2,
         speculative_autodisable: bool = False,
+        batch_admissions: bool = True,
         mesh: Optional[Any] = None,
         result_callback: Optional[Callable[[RequestResult], None]] = None,
     ) -> None:
@@ -359,8 +371,9 @@ class ContinuousBatchingEngine:
             self._prefill_request = self._default_prefill
         # batched admission: only the default LLM prefill path knows how to
         # fuse several same-bucket prompts into one prefill program; custom
-        # prefill fns stay per-request
-        self._can_batch_prefill = prefill_fn is None
+        # prefill fns stay per-request. batch_admissions=False forces the
+        # per-request path (the A/B knob bench_serving's churn phase uses).
+        self._can_batch_prefill = prefill_fn is None and batch_admissions
         # host-side preparation hook (video decode / tokenization) that the
         # prefetcher runs while the device decodes a chunk. Custom prefill_fns
         # start with prefetch disabled — a frontend that supports it assigns
@@ -469,10 +482,17 @@ class ContinuousBatchingEngine:
         for r in requests:
             self.submit(r)
         with self._mesh_scope():
+            t0 = time.perf_counter()
             self._admit()
+            self.stats.admit_s += time.perf_counter() - t0
             while any(s.request is not None for s in self._slots):
+                t0 = time.perf_counter()
                 self._decode_one_chunk()
+                t1 = time.perf_counter()
                 self._admit()
+                t2 = time.perf_counter()
+                self.stats.decode_s += t1 - t0
+                self.stats.admit_s += t2 - t1
         return dict(self._results)
 
     def _mesh_scope(self):

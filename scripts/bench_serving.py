@@ -129,103 +129,200 @@ def _phase(phase: str) -> dict:
         eng.run(list(reqs))
         return time.perf_counter() - t0, eng.stats
 
+    if phase == "churn":
+        # High-churn regime (round-4 verdict item 5): short answers retire
+        # slots fast, so admissions dominate — the worst case for admission
+        # prefill blocking decode. Measures the prefill stall share and the
+        # batched-admission win (same-bucket pending admits fuse into one
+        # prefill program, paying the weight HBM stream once).
+        rng = np.random.RandomState(3)
+        churn = []
+        for i in range(int(os.environ.get("BENCH_CHURN_REQUESTS", "48"))):
+            plen = int(rng.choice([12, 24, 40, 56]))
+            budget = int(rng.choice([4, 8, 12]))
+            ids = rng.randint(4, 1000, (plen,)).astype(np.int32)
+            churn.append(Request(f"h{i}", input_ids=ids, max_new_tokens=budget))
+        tot = sum(r.max_new_tokens for r in churn)
+
+        def run_churn(batched: bool):
+            eng = ContinuousBatchingEngine(
+                decoder, params, slots=slots, max_len=max_len,
+                steps_per_sync=steps_per_sync, config=gcfg, length_bucket=16,
+                batch_admissions=batched,
+            )
+            t0 = time.perf_counter()
+            eng.run(list(churn))
+            return time.perf_counter() - t0, eng.stats
+
+        run_churn(True); run_churn(False)  # compile both program sets
+        for batched in (True, False):
+            s, st = min((run_churn(batched) for _ in range(2)), key=lambda x: x[0])
+            key = "batched" if batched else "per_request"
+            out[key] = {
+                "tok_s": round(tot / s, 2),
+                "util": round(st.slot_utilization, 3),
+                "prefills": st.prefills,
+                "batched_admissions": st.batched_admissions,
+                "prefill_stall_share": round(st.prefill_stall_share, 3),
+            }
+        return out
+
     if phase == "spec_curve":
         # Speculative decoding's value proposition, characterized (round-4
-        # verdict item 4): (a) the COST side — per-step time of the [B,g+1]
-        # verify vs a plain decode step, measured with all slots live and no
-        # admission churn; its ratio IS the break-even acceptance (tokens/step
-        # needed to not lose); (b) the REALIZED side — engine runs at growing
-        # budgets (longer generations spend more steps inside greedy cycles,
-        # where prompt-lookup drafts accept) give measured (acceptance,
-        # speedup) pairs on this exact implementation.
-        import dataclasses as _dc
-
+        # verdict item 4) on the REAL serving programs:
+        #
+        # (a) COST — per-step time of the [B, g+1] verify vs a plain decode
+        #     step. Timed by PROGRAM-LENGTH DIFFERENCE: a 2K-step chunk minus
+        #     a K-step chunk over (2K - K) steps, ONE host fetch each — the
+        #     tunnel RTT and fetch overhead cancel exactly (block_until_ready
+        #     does not sync through the axon tunnel, so naive per-chunk wall
+        #     timing measures dispatch, not execution — BASELINE.md
+        #     methodology). The ratio IS the break-even acceptance.
+        #
+        # (b) REALIZED tok/s vs CONTROLLED acceptance — acceptance is
+        #     workload-determined, not weight-determined, so it can be swept
+        #     without real weights: precompute the model's true greedy
+        #     continuation (spec is lossless, so it emits exactly this
+        #     stream), then plant it in each slot's draft corpus (hist) with
+        #     every c-th token corrupted. The n-gram cascade then drafts
+        #     truth between corruptions: corruption period c dials realized
+        #     acceptance from ~1 (c=1) to ~gamma+1 (clean). Both acceptance
+        #     and tok/s are MEASURED on the production _decode_chunk_spec.
         from merv_tpu.models.backbones.llm.transformer import KVCache
         from merv_tpu.serving.engine import _decode_chunk, _decode_chunk_spec
 
-        rows = max_len + 16
+        K = steps_per_sync
+        ngram = 2
+        rows = 512  # covers base_len<=96 + 2K steps x (gamma+1<=9) tokens
         cache_dtype = jnp.int8 if int8_kv else decoder.cfg.compute_dtype
         rng = np.random.RandomState(7)
-        lengths_np = rng.randint(32, 96, (slots,)).astype(np.int32)
-        last = jnp.asarray(rng.randint(4, 1000, (slots,)), jnp.int32)
+        base_len_np = rng.randint(32, 96, (slots,)).astype(np.int32)
+        last_np = rng.randint(4, 1000, (slots,)).astype(np.int32)
         done = jnp.zeros((slots,), bool)
         key = jax.random.PRNGKey(0)
-        hist_np = rng.randint(4, 1000, (slots, rows + 24)).astype(np.int32)
-        hist_len_np = rng.randint(16, 64, (slots,)).astype(np.int32)
 
-        def time_steps(g: int) -> float:
-            n_chunks, best = 4, float("inf")
-            for _ in range(3):  # first rep compiles
-                t0 = time.perf_counter()
-                # donated buffers (cache incl. its length leaf, hist,
-                # hist_len) must be fresh arrays every call
-                c = KVCache.create(decoder.cfg, slots, rows, dtype=cache_dtype)
-                lt, dn = last, done
-                h, hl = jnp.asarray(hist_np), jnp.asarray(hist_len_np)
-                for _ in range(n_chunks):
-                    # reset pointers so nothing walks off the buffer
-                    c = c._replace(length=jnp.asarray(lengths_np))
-                    if g:
-                        _, _, c, lt, dn, h, hl = _decode_chunk_spec(
-                            decoder, params, c, lt, dn, gcfg, steps_per_sync,
-                            g, 2, h, hl, key,
-                        )
-                    else:
-                        _, c, lt, dn = _decode_chunk(
-                            decoder, params, c, lt, dn, gcfg, steps_per_sync, key,
-                        )
-                jax.block_until_ready(lt)
-                best = min(best, time.perf_counter() - t0)
-            return best / (n_chunks * steps_per_sync)
+        def fresh_cache():
+            c = KVCache.create(decoder.cfg, slots, rows, dtype=cache_dtype)
+            return c._replace(length=jnp.asarray(base_len_np))
 
-        t_plain = time_steps(0)
+        n_truth = 2 * K * 9 + 8
+
+        # hist layout: [live-tail ngram][truth oracle][live prompt ...](hist_len)
+        # The live region's suffix n-gram is planted at oracle position 0, so
+        # the cascade's most-recent-previous match lands in the oracle and
+        # drafts the (corrupted) truth continuation.
+        live_p = 24
+        Hc = ngram + n_truth + live_p + 2 * K * 9 + 16
+        prompt_np = rng.randint(4, 1000, (slots, live_p)).astype(np.int32)
+        prompt_np[:, -1] = last_np  # live tail ends with the current token
+        hist_len_np = np.full((slots,), ngram + n_truth + live_p, np.int32)
+
+        def make_hist(truth: np.ndarray, corrupt_every: int) -> np.ndarray:
+            h = np.full((slots, Hc), gcfg.pad_token_id, np.int32)
+            for b in range(slots):
+                h[b, :ngram] = prompt_np[b, -ngram:]
+                oracle = truth[b, :n_truth].copy()
+                if corrupt_every:
+                    idx = np.arange(corrupt_every - 1, len(oracle), corrupt_every)
+                    oracle[idx] = (oracle[idx] + 7919) % 32000
+                h[b, ngram : ngram + n_truth] = oracle
+                h[b, ngram + n_truth : hist_len_np[b]] = prompt_np[b]
+            return h
+
+        # no-match corpus: empty oracle -> the cascade finds nothing, every
+        # step drafts pads, acceptance pins at 1 (the cost-side workload)
+        hist_nomatch = np.full((slots, Hc), gcfg.pad_token_id, np.int32)
+        for b in range(slots):
+            hist_nomatch[b, ngram + n_truth : hist_len_np[b]] = prompt_np[b]
+
+        def run_chunk(g: int, steps: int, hist0: np.ndarray):
+            """One chained run from the base state; returns (wall_s, emitted)."""
+            c = fresh_cache()
+            lt, dn = jnp.asarray(last_np), done
+            h, hl = jnp.asarray(hist0), jnp.asarray(hist_len_np)
+            t0 = time.perf_counter()
+            if g:
+                _, emits, c, lt, dn, h, hl = _decode_chunk_spec(
+                    decoder, params, c, lt, dn, gcfg, steps, g, ngram, h, hl, key,
+                )
+                emitted = int(np.asarray(emits).sum())  # host fetch = sync
+            else:
+                toks_, c, lt, dn = _decode_chunk(
+                    decoder, params, c, lt, dn, gcfg, steps, key,
+                )
+                emitted = int(np.asarray(toks_).size)
+                np.asarray(toks_)
+            return time.perf_counter() - t0, emitted
+
+        def step_time(g: int, hist0: np.ndarray, reps: int = 5):
+            """Difference-timed seconds/step + realized tokens/step."""
+            run_chunk(g, K, hist0); run_chunk(g, 2 * K, hist0)  # compile both
+            t1, e1 = min((run_chunk(g, K, hist0) for _ in range(reps)), key=lambda x: x[0])
+            t2, e2 = min((run_chunk(g, 2 * K, hist0) for _ in range(reps)), key=lambda x: x[0])
+            return (t2 - t1) / K, (e2 - e1) / K
+
+        # ---- cost side: verify-step overhead per gamma. The step time is
+        # acceptance-INDEPENDENT (static program: the verify always computes
+        # gamma+1 rows; acceptance only changes pointer arithmetic), so this
+        # table plus any acceptance value gives realized tok/s exactly. ----
+        t_plain, _ = step_time(0, hist_nomatch)
         curve = []
+        step_t = {}
         for g in (2, 4, 8):
-            t_g = time_steps(g)
+            t_g, _ = step_time(g, hist_nomatch)
+            step_t[g] = t_g
             curve.append({
                 "gamma": g,
                 "step_ms": round(t_g * 1e3, 3),
-                "overhead_x": round(t_g / t_plain, 3),
                 # acceptance (tokens/step) needed to break even at this gamma
                 "break_even_tokens_per_step": round(t_g / t_plain, 3),
-                # projected speedup at the verdict's acceptance grid
-                "speedup_at": {
-                    str(a): round(a * t_plain / t_g, 3)
-                    for a in (1.0, 1.5, 2.0, 3.0, g + 1)
+                # measured tok/s per slot at the verdict's acceptance grid
+                # (exact: tok/s = acceptance / step_time)
+                "tok_s_at": {
+                    str(a): round(a / t_g, 2)
+                    for a in (1.0, 1.5, 2.0, 3.0, float(g + 1))
                 },
             })
-        out.update(plain_step_ms=round(t_plain * 1e3, 3), curve=curve)
+        out.update(
+            plain_step_ms=round(t_plain * 1e3, 3),
+            plain_tok_s_per_slot=round(1.0 / t_plain, 2),
+            curve=curve,
+        )
 
-        # realized side: same prompt set, growing budgets; greedy cycles on
-        # fixed weights raise realized acceptance with budget
-        realized = []
-        for budget in (16, 64, 96):
-            wl = [
-                Request(f"c{i}", input_ids=r.input_ids, max_new_tokens=min(budget, max_len - len(r.input_ids)))
-                for i, r in enumerate(reqs)
-            ]
-
-            def run_wl(spec: int):
-                eng = ContinuousBatchingEngine(
-                    decoder, params, slots=slots, max_len=max_len,
-                    steps_per_sync=steps_per_sync, config=gcfg, length_bucket=16,
-                    speculative_gamma=spec,
+        # ---- realized side: acceptance swept by oracle corruption. The
+        # oracle must be the SPEC program's own greedy stream: on bf16
+        # random weights the logits are near-uniform and a [B,1] GEMV argmax
+        # disagrees with the [B,g+1] GEMM argmax constantly (real weights
+        # have margins), so a plain-decode truth never accepts. Collect it
+        # by running the spec program at acceptance 1 (no-match corpus) and
+        # reading its emitted windows. ----
+        def collect_truth(g: int) -> np.ndarray:
+            c = fresh_cache()
+            lt, dn = jnp.asarray(last_np), done
+            h, hl = jnp.asarray(hist_nomatch), jnp.asarray(hist_len_np)
+            rows_out = [[] for _ in range(slots)]
+            while min(len(r) for r in rows_out) < n_truth:
+                wins, emits, c, lt, dn, h, hl = _decode_chunk_spec(
+                    decoder, params, c, lt, dn, gcfg, K, g, ngram, h, hl, key,
                 )
-                t0 = time.perf_counter()
-                eng.run([_dc.replace(r) for r in wl])
-                return time.perf_counter() - t0, eng.stats
+                wins, emits = np.asarray(wins), np.asarray(emits)
+                for k in range(K):
+                    for b in range(slots):
+                        rows_out[b].extend(wins[k, b, : emits[k, b]].tolist())
+            return np.asarray([r[:n_truth] for r in rows_out], np.int32)
 
-            run_wl(gamma); run_wl(0)  # compile
-            spec_s, sstats = min((run_wl(gamma) for _ in range(2)), key=lambda x: x[0])
-            plain_s, _ = min((run_wl(0) for _ in range(2)), key=lambda x: x[0])
-            tot = sum(r.max_new_tokens for r in wl)
+        truth = collect_truth(gamma)
+        realized = []
+        for c_every in (1, 2, 4, 0):  # 0 = clean oracle (max acceptance)
+            t_g, tps = step_time(gamma, make_hist(truth, c_every))
+            acc = tps / slots
             realized.append({
-                "budget": budget,
+                "corrupt_every": c_every,
                 "gamma": gamma,
-                "tokens_per_step": round(sstats.tokens_per_step, 3),
-                "spec_tok_s": round(tot / spec_s, 2),
-                "plain_tok_s": round(tot / plain_s, 2),
-                "speedup": round(plain_s / spec_s, 3),
+                "tokens_per_step": round(acc, 3),
+                "spec_tok_s_per_slot": round(acc / t_g, 2),
+                "plain_tok_s_per_slot": round(1.0 / t_plain, 2),
+                "speedup": round(acc * t_plain / t_g, 3),
             })
         out["realized"] = realized
         return out

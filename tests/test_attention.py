@@ -344,5 +344,6 @@ def test_mha_time_packed_kernel_path_matches_xla(rng, monkeypatch):
     monkeypatch.setattr(V, "can_use_pallas", lambda: False)
     ref = vit._mha_time_packed(lp["t_attn"], x)
     monkeypatch.setattr(V, "can_use_pallas", lambda: True)  # interpret keeps Pallas on CPU
+    monkeypatch.setenv("MERV_TPU_TEMPORAL_KERNEL", "1")  # kernel path is opt-in
     got = vit._mha_time_packed(lp["t_attn"], x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -242,6 +242,27 @@ def test_engine_batched_admission_parity(decoder_and_params):
     assert eng.stats.batched_admissions == 4
 
 
+def test_engine_batch_admissions_off(decoder_and_params):
+    """batch_admissions=False (the churn A/B knob) forces per-request
+    prefills; outputs stay exact and the wall-time attribution stats
+    (admit_s / decode_s / prefill_stall_share) populate."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 6, 7, 5], seed=22)
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=4, max_len=32, steps_per_sync=3, config=gcfg,
+        length_bucket=8, batch_admissions=False,
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    assert eng.stats.prefills == 4
+    assert eng.stats.batched_admissions == 0
+    assert eng.stats.admit_s > 0 and eng.stats.decode_s > 0
+    assert 0.0 < eng.stats.prefill_stall_share < 1.0
+
+
 def test_engine_result_callback_incremental(decoder_and_params):
     """result_callback fires the moment each request finishes (the serve.py
     incremental-write/resume protocol), including error results."""
