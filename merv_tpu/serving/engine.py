@@ -70,6 +70,12 @@ class Request:
     prompt_text: Optional[str] = None
     video: Optional[Any] = None  # path / frame array; None = unimodal
     max_new_tokens: int = 128
+    # name of a prefix registered via ``engine.register_prefix`` /
+    # ``engine.register_prefix_video``: admission then prefills ONLY the
+    # suffix (``input_ids`` post-BOS at LLM level; ``prompt_text`` whose BOS
+    # strips against the prefix's baked-in ids at VidLM level) against the
+    # shared prefix KV — towers + prefix prefill amortize across requests
+    prefix_id: Optional[str] = None
 
 
 @dataclass
@@ -93,6 +99,7 @@ class EngineStats:
     prefetch_hits: int = 0  # admissions whose host prep overlapped a decode chunk
     errors: int = 0  # requests that failed (corrupt media / over-budget / prep error)
     batched_admissions: int = 0  # admissions that shared a prefill program with others
+    prefix_admissions: int = 0  # admissions served suffix-only off a shared prefix
     admit_s: float = 0.0  # host wall time inside _admit (prefill stall: decode waits)
     decode_s: float = 0.0  # host wall time inside decode chunks (incl. the sync)
 
@@ -268,6 +275,55 @@ def _decode_chunk_spec(
     return wins, emits, cache, tok, done, hist, hist_len
 
 
+def _prefix_suffix_prefill(
+    decoder: LlamaDecoder,
+    params: PyTree,
+    cfg: GenerationConfig,
+    prefix_kv: KVCache,  # B=1 shared prefix, buffer EXACTLY P rows, length==P
+    suffix_ids: Array,  # [n, Tb] right-padded post-prefix prompt tokens
+    suffix_mask: Array,  # [n, Tb]
+    rng: Array,
+) -> Tuple[Tuple[Array, Array, Optional[Array], Optional[Array]], Array, Array]:
+    """Suffix-only prefill against a SHARED prefix cache -> a splice-able
+    [L, n, H, P+Tb, D] small cache whose rows each hold [prefix | suffix_b].
+
+    The engine's prefix-caching admission path: a request that names a
+    registered prefix (the ``[BOS | visual]`` KV of a video, built once by
+    ``MERV.build_video_prefix``) pays only its question suffix here — the
+    towers and the P-token prefix prefill amortize over every request on the
+    same video. The reference recomputes the full video prefill per question
+    (reference ``merv/models/vidlms/merv.py:779-830``); its eval sets ask
+    several questions per video, so this is the serving fast path for the
+    reference's own headline workload.
+
+    Mirrors :func:`merv_tpu.models.generation.generate_with_prefix`'s prefill
+    half exactly (positions offset by P, cache-wide kv mask, last-valid
+    gather); several same-(prefix, bucket) admissions prefill together (the
+    prefix tiles to n rows inside the program — one weight HBM stream for all
+    of them). Returns (small cache buffers, first token [n], TOTAL valid
+    rows [n] = P + suffix lengths)."""
+    from merv_tpu.models.generation import _tile_pad_cache
+
+    n, Tb = suffix_ids.shape
+    P = prefix_kv.k.shape[3]
+    cache = _tile_pad_cache(prefix_kv, n, Tb)
+    am = suffix_mask.astype(jnp.int32)
+    positions = P + jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
+    n_valid = jnp.sum(am, axis=1)
+    cache_mask = jnp.concatenate(
+        [jnp.ones((n, P), bool), suffix_mask.astype(bool)], axis=1
+    )
+    logits, cache = decoder(
+        params, input_ids=suffix_ids, attention_mask=cache_mask,
+        positions=positions, kv_cache=cache, logits_indices=jnp.maximum(n_valid - 1, 0),
+    )
+    first_logits = _ban_eos_below_min_length(
+        logits[:, 0].astype(jnp.float32), P + n_valid, cfg
+    )
+    first = _sample_token(first_logits, rng, cfg)
+    return (cache.k, cache.v, cache.k_scale, cache.v_scale), first, P + n_valid
+
+
 def _llm_prefill(
     decoder: LlamaDecoder,
     params: PyTree,
@@ -317,6 +373,11 @@ class ContinuousBatchingEngine:
     Host-side request preparation (video decode + tokenization) for the head
     of the queue overlaps the decode chunk the device is already running
     (``_start_prefetch``) — admission then only pays the device prefill.
+
+    **Prefix caching** (:meth:`register_prefix` / ``register_prefix_video``):
+    requests naming a registered shared prefix (the ``[BOS | visual]`` KV of
+    a video) admit suffix-only — the measured 1.71x tok/s at the LLM level
+    (BASELINE.md), plus the amortized towers at VidLM level.
     """
 
     def __init__(
@@ -389,9 +450,19 @@ class ContinuousBatchingEngine:
             (lambda req, prepared: len(prepared[2])) if prefill_fn is None else None
         )
         self._prefetched: Optional[Tuple[str, Any, Dict[str, Any]]] = None
+        # shared-prefix registry: prefix_id -> (B=1 KVCache of exactly P rows,
+        # P, bos ids baked into the cache). Requests naming a prefix_id prefill
+        # suffix-only (_prefix_suffix_prefill) — the engine's prefix-caching
+        # fast path for the many-questions-per-video regime.
+        self._prefixes: Dict[str, Tuple[KVCache, int, Tuple[int, ...]]] = {}
+        # VidLM frontends assign a prompt_text -> post-BOS suffix ids hook
+        # (validates the prompt's BOS against the prefix's baked-in ids);
+        # LLM-level engines take pre-stripped input_ids directly
+        self._suffix_tokenize: Optional[Callable[[Request, Tuple[int, ...]], np.ndarray]] = None
         # one jit wrapper for the engine's lifetime: its compilation cache is
         # per-wrapper, so re-wrapping per request would retrace every prefill
         self._jit_prefill = jax.jit(_llm_prefill, static_argnums=(0, 2))
+        self._jit_prefix_prefill = jax.jit(_prefix_suffix_prefill, static_argnums=(0, 2))
         self._rng = jax.random.PRNGKey(0) if rng is None else rng
 
         cache_dtype = jnp.int8 if config.kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
@@ -476,6 +547,85 @@ class ContinuousBatchingEngine:
     def submit(self, request: Request) -> None:
         self._queue.append(request)
 
+    def register_prefix(self, prefix_id: str, prefix: Any) -> None:
+        """Register a shared prompt prefix for suffix-only admission.
+
+        ``prefix`` is a :class:`~merv_tpu.models.generation.VideoPrefix` (from
+        ``MERV.build_video_prefix`` — carries the BOS ids and KV dtype it was
+        built with, both validated here) or a bare B=1 :class:`KVCache` whose
+        buffer is exactly the prefix rows (``prefill_prefix``'s contract).
+        Requests naming ``prefix_id`` then prefill only their suffix against
+        this cache (one weight stream for the suffix bucket instead of towers
+        + the full P-token prefill) and splice ``[prefix | suffix]`` into
+        their slot. The registered cache is read-only to the engine — one
+        registration serves any number of requests and engines."""
+        from merv_tpu.models.generation import VideoPrefix
+
+        bos: Tuple[int, ...] = ()
+        if isinstance(prefix, VideoPrefix):
+            want = self.config.kv_cache_dtype
+            if prefix.kv_cache_dtype != want:
+                raise ValueError(
+                    f"prefix {prefix_id!r} was built with kv_cache_dtype="
+                    f"{prefix.kv_cache_dtype!r} but this engine serves {want!r}"
+                )
+            bos, prefix = prefix.bos_ids, prefix.cache
+        want_dtype = jnp.int8 if self.config.kv_cache_dtype == "int8" else self.decoder.cfg.compute_dtype
+        if prefix.k.dtype != want_dtype:
+            raise ValueError(
+                f"prefix {prefix_id!r} cache dtype {prefix.k.dtype} does not match "
+                f"the engine's KV dtype {jnp.dtype(want_dtype).name}"
+            )
+        if prefix.k.shape[1] != 1:
+            raise ValueError(f"prefix caches are per-video (B=1), got B={prefix.k.shape[1]}")
+        P = prefix.k.shape[3]
+        if P + 1 + 1 > self.max_len:
+            raise ValueError(
+                f"prefix {prefix_id!r} is {P} rows — no room for a suffix token "
+                f"plus one generated token under max_len {self.max_len}"
+            )
+        if self._mesh is not None:
+            # place the prefix like the slot cache's kv buffers (head-dim
+            # sharded under tp; rows replicate — a P-row prefix need not tile
+            # the sp axis, the splice target's GSPMD handles the copy)
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            from merv_tpu.parallel.mesh import TENSOR_AXIS
+
+            tp = dict(self._mesh.shape).get(TENSOR_AXIS, 1)
+            head_axis = (
+                TENSOR_AXIS
+                if tp > 1 and self.decoder.cfg.num_kv_heads % tp == 0
+                else None
+            )
+            hshard = NamedSharding(self._mesh, P_(None, None, head_axis, None, None))
+            repl = NamedSharding(self._mesh, P_())
+
+            def place(x, sh):
+                return None if x is None else jax.device_put(x, sh)
+
+            prefix = KVCache(
+                place(prefix.k, hshard), place(prefix.v, hshard),
+                place(prefix.length, repl),
+                place(prefix.k_scale, hshard), place(prefix.v_scale, hshard),
+            )
+        gb = sum(
+            b.size * b.dtype.itemsize for b in (prefix.k, prefix.v)
+        ) / 1e9
+        self._prefixes[prefix_id] = (prefix, P, bos)
+        overwatch.info(
+            f"registered prefix {prefix_id!r}: {P} rows = {gb:.2f} GB HBM "
+            f"({len(self._prefixes)} prefixes live — unregister_prefix frees them)"
+        )
+
+    def unregister_prefix(self, prefix_id: str) -> None:
+        """Free a registered prefix's HBM (its requests must all be retired —
+        live slots hold spliced COPIES, so in-flight decodes are unaffected,
+        but new requests naming it will fail per-request). Serving drivers
+        with many videos register/unregister in waves to bound HBM
+        (``scripts/serve.py --prefix_budget``)."""
+        self._prefixes.pop(prefix_id, None)
+
     def run(self, requests: Sequence[Request] = ()) -> Dict[str, RequestResult]:
         """Serve all queued (+ given) requests to completion; returns results
         keyed by request_id. Callable repeatedly — state persists."""
@@ -532,6 +682,47 @@ class ContinuousBatchingEngine:
         mask[0, : len(ids)] = 1
         return padded, mask, ids
 
+    def _prepare_suffix(self, req: Request):
+        """Host-side prep for a shared-prefix request: resolve the suffix
+        tokens (``input_ids`` directly, or ``prompt_text`` through the
+        frontend's BOS-stripping hook), bucket them against the room the
+        prefix leaves, and right-pad. Prefetchable like ``_prepare_llm``."""
+        entry = self._prefixes.get(req.prefix_id)
+        if entry is None:
+            raise KeyError(
+                f"request {req.request_id!r} names unregistered prefix "
+                f"{req.prefix_id!r} — call register_prefix first"
+            )
+        _, P, bos = entry
+        if req.input_ids is not None:
+            ids = np.asarray(req.input_ids, np.int32).reshape(-1)
+        elif req.prompt_text is not None and self._suffix_tokenize is not None:
+            ids = np.asarray(self._suffix_tokenize(req, bos), np.int32).reshape(-1)
+        else:
+            raise ValueError(
+                "prefix requests need input_ids (post-BOS suffix tokens), or "
+                "prompt_text on a frontend with a suffix tokenizer (for_vidlm)"
+            )
+        if len(ids) == 0:
+            raise ValueError(
+                f"request {req.request_id!r} has an empty suffix: the shared-"
+                "prefix path needs at least one suffix token to anchor its "
+                "first sampled position"
+            )
+        room = self.max_len - P
+        b = self.length_bucket
+        Tb = min(-(-len(ids) // b) * b, room) if b > 1 else len(ids)
+        if len(ids) > Tb:
+            raise ValueError(
+                f"suffix ({len(ids)} tokens) exceeds the {room} rows prefix "
+                f"{req.prefix_id!r} ({P} rows) leaves under max_len {self.max_len}"
+            )
+        padded = np.full((1, Tb), self.config.pad_token_id, np.int32)
+        mask = np.zeros((1, Tb), np.int32)
+        padded[0, : len(ids)] = ids
+        mask[0, : len(ids)] = 1
+        return padded, mask, ids
+
     def _default_prefill(self, req: Request, prepared: Any = None):
         padded, mask, ids = prepared if prepared is not None else self._prepare_llm(req)
         if padded.shape[1] not in self.stats.prefill_buckets:
@@ -547,16 +738,21 @@ class ContinuousBatchingEngine:
         """Kick off host-side preparation of the queue head on a worker thread
         while the device is busy with a decode chunk. Pure host work
         (video decode, tokenizer, numpy) — no jax calls."""
-        if self._prepare is None or self._prefetched is not None or not self._queue:
+        if self._prefetched is not None or not self._queue:
+            return
+        req = self._queue[0]
+        # prefix requests always have engine-owned prep; others need the
+        # frontend's hook (custom prefill fns without one stay unprefetched)
+        prep = self._prepare_suffix if req.prefix_id is not None else self._prepare
+        if prep is None:
             return
         import threading
 
-        req = self._queue[0]
         holder: Dict[str, Any] = {}
 
         def work():
             try:
-                holder["payload"] = self._prepare(req)
+                holder["payload"] = prep(req)
             except Exception as e:  # surfaced at admission
                 holder["error"] = e
 
@@ -601,6 +797,7 @@ class ContinuousBatchingEngine:
         #    BEFORE any device prefill is paid
         free = [i for i, s in enumerate(self._slots) if s.request is None]
         admits: List[Tuple[int, Request, Any]] = []
+        prefix_admits: List[Tuple[int, Request, Any]] = []
         while free and self._queue:
             req = self._queue[0]
             try:
@@ -611,6 +808,18 @@ class ContinuousBatchingEngine:
                 continue
             self._queue.popleft()
             try:
+                if req.prefix_id is not None:
+                    if prepared is None:
+                        prepared = self._prepare_suffix(req)
+                    n = self._prefixes[req.prefix_id][1] + len(prepared[2])
+                    if n + req.max_new_tokens > self.max_len:
+                        raise ValueError(
+                            f"prefix ({self._prefixes[req.prefix_id][1]}) + suffix "
+                            f"({len(prepared[2])}) + max_new_tokens "
+                            f"({req.max_new_tokens}) exceeds engine max_len {self.max_len}"
+                        )
+                    prefix_admits.append((free.pop(0), req, prepared))
+                    continue
                 if prepared is None and self._prepare is not None:
                     prepared = self._prepare(req)
                 if self._prepared_len is not None and prepared is not None:
@@ -624,6 +833,38 @@ class ContinuousBatchingEngine:
                 self._fail(req, e)
                 continue
             admits.append((free.pop(0), req, prepared))
+
+        # prefix admissions: suffix-only prefill, grouped by (prefix, bucket) —
+        # same-(video, bucket) questions share one program AND one weight
+        # stream, regardless of the frontend (the suffix path is engine-owned
+        # LLM-level work even on VidLM engines, whose full-pipeline prefills
+        # cannot batch)
+        if prefix_admits:
+            pgroups: Dict[Tuple[str, int], List[Tuple[int, Request, Any]]] = {}
+            for item in prefix_admits:
+                pgroups.setdefault((item[1].prefix_id, item[2][0].shape[1]), []).append(item)
+            for (pid, Tb), items in pgroups.items():
+                if Tb not in self.stats.prefill_buckets:
+                    self.stats.prefill_buckets.append(Tb)
+                cache, _P, _bos = self._prefixes[pid]
+                n_real = len(items)
+                n_prog = 1 << (n_real - 1).bit_length()  # pow2: bounded programs
+                rows_ids = [it[2][0] for it in items] + [items[-1][2][0]] * (n_prog - n_real)
+                rows_mask = [it[2][1] for it in items] + [items[-1][2][1]] * (n_prog - n_real)
+                small, first, n_valid = self._jit_prefix_prefill(
+                    self.decoder, self.llm_params, self.config, cache,
+                    jnp.asarray(np.concatenate(rows_ids, axis=0)),
+                    jnp.asarray(np.concatenate(rows_mask, axis=0)),
+                    self._next_key(),
+                )
+                self.stats.prefills += 1
+                self.stats.prefix_admissions += n_real
+                if n_real > 1:
+                    self.stats.batched_admissions += n_real
+                first_h, n_valid_h = np.asarray(first), np.asarray(n_valid)
+                for row, (slot_idx, req, prepared) in enumerate(items):
+                    self._place(slot_idx, req, small, first, n_valid, row,
+                                int(first_h[row]), int(n_valid_h[row]), prepared[2])
         if not admits:
             return
 
@@ -877,11 +1118,42 @@ class ContinuousBatchingEngine:
                 n += vidlm.visual_feature_length
             return n
 
+        def suffix_tokenize(req: Request, bos: Tuple[int, ...]) -> np.ndarray:
+            """prompt_text -> post-BOS suffix ids, validating the prompt's own
+            BOS against the ids baked into the registered prefix (mirrors
+            ``MERV.generate_batch_shared``'s host-side checks)."""
+            ids = vidlm.llm_backbone.tokenizer(req.prompt_text, truncation=True).input_ids
+            nbos = vidlm.llm_backbone.bos_token_length
+            if nbos and tuple(ids[:nbos]) != bos:
+                raise ValueError(
+                    f"prompt tokenizes to bos_ids={tuple(ids[:nbos])} but prefix "
+                    f"{req.prefix_id!r} was built with bos_ids={bos}"
+                )
+            return np.asarray(ids[nbos:], np.int32)
+
+        def register_prefix_video(
+            prefix_id: str, video: Any, num_frames=None, clip_args=None
+        ) -> None:
+            """Towers + fusion + [BOS | visual] prefill ONCE; every request
+            naming ``prefix_id`` then pays only its question suffix — the
+            engine-side form of ``MERV.generate_batch_shared`` (reference eval
+            sets ask several questions per video; the reference recomputes the
+            full video prefill per question, merv.py:779-830)."""
+            vp = vidlm.build_video_prefix(
+                params, video, num_frames, clip_args,
+                kv_cache_dtype=engine.config.kv_cache_dtype,
+            )
+            engine.register_prefix(prefix_id, vp)
+
         engine._prepare = prepare
         engine._prefill_request = prefill_request
         engine._prepared_len = prepared_len
+        engine._suffix_tokenize = suffix_tokenize
+        engine.register_prefix_video = register_prefix_video
         # the batched-admission fast path is LLM-payload-specific (pads ids/
         # masks into one prefill); the multimodal payload must go through
-        # prefill_request per-request or towers would silently be skipped
+        # prefill_request per-request or towers would silently be skipped —
+        # EXCEPT prefix_id requests, which ride the engine-owned suffix path
+        # (and do batch, grouped per prefix)
         engine._can_batch_prefill = False
         return engine

@@ -167,6 +167,72 @@ def _phase(phase: str) -> dict:
             }
         return out
 
+    if phase == "prefix":
+        # Shared-prefix serving (engine prefix caching): N questions against
+        # one P-token shared prefix — the LLM-level proxy for the many-
+        # questions-per-video regime (P=1024 ~ merv's [BOS | 1024-visual]
+        # prefix). A: requests admit suffix-only against a registered prefix;
+        # B: the same engine prefills the full [prefix | suffix] prompt per
+        # admission. Decode work is identical — the delta is pure admission
+        # cost (the reference recomputes the full prefill per question,
+        # reference merv/models/vidlms/merv.py:779-830).
+        from merv_tpu.models.generation import prefill_prefix
+
+        P = int(os.environ.get("BENCH_PREFIX_LEN", "1024"))
+        budget = int(os.environ.get("BENCH_PREFIX_BUDGET", "24"))
+        n_req = int(os.environ.get("BENCH_PREFIX_REQUESTS", "16"))
+        pmax_len = P + 64 + budget
+        rng = np.random.RandomState(9)
+        prefix_ids = jnp.asarray(rng.randint(4, 1000, (1, P)), jnp.int32)
+        embeds = decoder.embed_input_ids(params, prefix_ids)
+        pcache = jax.jit(
+            lambda p, e: prefill_prefix(
+                decoder, p, inputs_embeds=e, kv_cache_dtype=gcfg.kv_cache_dtype
+            )
+        )(params, embeds)
+        suffixes = [rng.randint(4, 1000, (int(rng.choice([8, 16, 24, 40])),)).astype(np.int32)
+                    for _ in range(n_req)]
+        tot = n_req * budget
+        prefix_np = np.asarray(prefix_ids[0])
+
+        def run_prefix(shared: bool):
+            eng = ContinuousBatchingEngine(
+                decoder, params, slots=slots, max_len=pmax_len,
+                steps_per_sync=steps_per_sync, config=gcfg, length_bucket=64,
+            )
+            if shared:
+                eng.register_prefix("p", pcache)
+                rs = [Request(f"r{i}", input_ids=s, max_new_tokens=budget, prefix_id="p")
+                      for i, s in enumerate(suffixes)]
+            else:
+                rs = [Request(f"r{i}", input_ids=np.concatenate([prefix_np, s]),
+                              max_new_tokens=budget)
+                      for i, s in enumerate(suffixes)]
+            t0 = time.perf_counter()
+            eng.run(rs)
+            dt = time.perf_counter() - t0
+            st = eng.stats
+            # free this engine's slot-cache HBM before the next run: at
+            # P=1024 x 4 slots two live caches + int8 weights overflow 16 GB
+            eng._cache = None
+            del eng
+            import gc
+
+            gc.collect()
+            return dt, st
+
+        run_prefix(True); run_prefix(False)  # compile both program sets
+        for shared in (True, False):
+            s, st = min((run_prefix(shared) for _ in range(2)), key=lambda x: x[0])
+            out["shared" if shared else "full"] = {
+                "tok_s": round(tot / s, 2),
+                "wall_s": round(s, 3),
+                "prefills": st.prefills,
+                "prefill_stall_share": round(st.prefill_stall_share, 3),
+            }
+        out.update(prefix_len=P, budget=budget, prefix_requests=n_req)
+        return out
+
     if phase == "spec_curve":
         # Speculative decoding's value proposition, characterized (round-4
         # verdict item 4) on the REAL serving programs:

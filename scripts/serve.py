@@ -62,6 +62,8 @@ class ServeConfig:
     speculative: int = 0                 # batched prompt-lookup speculation: draft length gamma
     speculative_ngram: int = 2
     speculative_autodisable: bool = False  # fall back to plain decode below break-even
+    share_video_prefix: bool = True      # one tower+prefix prefill per distinct video
+    prefix_budget: int = 4               # max simultaneously registered prefixes (HBM)
     resume: bool = True                  # skip request_ids already in --output
     allow_random_weights: bool = False   # structure/throughput testing ONLY
     # fmt: on
@@ -130,6 +132,8 @@ def serve(cfg: ServeConfig) -> None:
     )
 
     n, skipped = 0, 0
+    pending = []
+    video_counts: dict = {}
     with open(cfg.requests) as f:
         for line in f:
             line = line.strip()
@@ -140,20 +144,80 @@ def serve(cfg: ServeConfig) -> None:
             if rid in done:
                 skipped += 1
                 continue
-            engine.submit(Request(
-                request_id=rid,
-                prompt_text=r["prompt"],
-                video=r.get("video"),
-                max_new_tokens=int(r.get("max_new_tokens", cfg.max_new_tokens)),
-            ))
+            pending.append((rid, r))
+            vid = r.get("video")
+            if isinstance(vid, str):
+                video_counts[vid] = video_counts.get(vid, 0) + 1
             n += 1
+
+    # Prefix caching: eval sets ask several questions per video (the
+    # reference recomputes towers + the full video prefill per question,
+    # reference merv/models/vidlms/merv.py:779-830); register each repeated
+    # video ONCE so its requests admit suffix-only. Prefixes are device
+    # buffers (~0.27 GB each at 7B int8 / 1025 rows), so registration runs in
+    # WAVES of --prefix_budget with unregister after each wave — hundreds of
+    # distinct videos never exceed budget x prefix HBM. A video whose prefix
+    # build fails (corrupt file) falls back to normal requests — the engine
+    # then fails those per-request, preserving fault isolation.
+    def submit_plain(rid: str, r: dict) -> None:
+        engine.submit(Request(
+            request_id=rid,
+            prompt_text=r["prompt"],
+            video=r.get("video"),
+            max_new_tokens=int(r.get("max_new_tokens", cfg.max_new_tokens)),
+        ))
+
     overwatch.info(
         f"Serving {n} requests on {cfg.slots} slots"
         + (f" ({skipped} already done, skipped)" if skipped else "")
     )
-
     t0 = time.perf_counter()
-    engine.run()
+    if cfg.share_video_prefix:
+        shared_videos = [v for v, c in video_counts.items() if c >= 2]
+        by_video: dict = {v: [] for v in shared_videos}
+        rest = []
+        for rid, r in pending:
+            vid = r.get("video")
+            if isinstance(vid, str) and vid in by_video:
+                by_video[vid].append((rid, r))
+            else:
+                rest.append((rid, r))
+        if shared_videos:
+            overwatch.info(
+                f"{len(shared_videos)} videos shared by "
+                f"{sum(len(v) for v in by_video.values())} requests — serving in "
+                f"waves of {cfg.prefix_budget} prefixes"
+            )
+        budget = max(cfg.prefix_budget, 1)
+        for w in range(0, len(shared_videos), budget):
+            wave = shared_videos[w : w + budget]
+            live = []
+            for vid in wave:
+                pid = f"video:{vid}"
+                try:
+                    engine.register_prefix_video(pid, vid)
+                except Exception as e:
+                    overwatch.warning(
+                        f"prefix build failed for {vid} ({type(e).__name__}: {e}) "
+                        f"— its {len(by_video[vid])} requests serve un-shared"
+                    )
+                    rest.extend(by_video[vid])
+                    continue
+                live.append(pid)
+                for rid, r in by_video[vid]:
+                    engine.submit(Request(
+                        request_id=rid, prompt_text=r["prompt"], prefix_id=pid,
+                        max_new_tokens=int(r.get("max_new_tokens", cfg.max_new_tokens)),
+                    ))
+            engine.run()
+            for pid in live:
+                engine.unregister_prefix(pid)
+        for rid, r in rest:
+            submit_plain(rid, r)
+    else:
+        for rid, r in pending:
+            submit_plain(rid, r)
+    engine.run()  # rest / un-shared requests (prefix waves already ran above)
     wall = time.perf_counter() - t0
     out_f.close()
 
@@ -162,6 +226,7 @@ def serve(cfg: ServeConfig) -> None:
         f"Served {n} requests in {wall:.1f}s ({totals['tokens'] / max(wall, 1e-9):.1f} tok/s) — "
         f"slot utilization {s.slot_utilization:.1%}, {s.prefills} prefills, "
         f"{s.decode_chunks} chunks"
+        + (f", {s.prefix_admissions} suffix-only admissions" if s.prefix_admissions else "")
         + (f", {s.errors} failed (finish_reason=error)" if s.errors else "")
         + (f", {s.tokens_per_step:.2f} tokens/verify-step" if cfg.speculative else "")
     )

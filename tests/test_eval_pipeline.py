@@ -441,3 +441,102 @@ def test_serve_cli_end_to_end(tmp_path, monkeypatch):
                              num_frames=model_cfg.num_frames, max_new_tokens=4)
     assert rows["v1"]["text"] == plain_v
     assert rows["t1"]["text"] == plain_t
+
+
+def test_serve_cli_shared_video_prefix(tmp_path, monkeypatch):
+    """scripts/serve.py --share_video_prefix: a video named by several
+    requests registers ONE engine prefix (towers + [BOS|visual] prefill run
+    once); outputs are identical to the un-shared engine run on the same
+    request file (prefix caching is an admission optimization, not a
+    different decoder)."""
+    import imageio.v3 as iio
+
+    from scripts.serve import ServeConfig, serve
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    paths = []
+    for vi in range(2):
+        video_path = tmp_path / f"clip{vi}.gif"
+        frames = (np.random.RandomState(5 + vi).rand(6, 48, 48, 3) * 255).astype(np.uint8)
+        iio.imwrite(video_path, frames, extension=".gif")
+        paths.append(str(video_path))
+
+    reqs = tmp_path / "requests.jsonl"
+    with open(reqs, "w") as f:
+        for i, q in enumerate(["In: what?\nOut: ", "In: why?\nOut: ", "In: how?\nOut: "]):
+            f.write(json.dumps({"request_id": f"v{i}", "prompt": q,
+                                "video": paths[0], "max_new_tokens": 4}) + "\n")
+        for i, q in enumerate(["In: and?\nOut: ", "In: also?\nOut: "]):
+            f.write(json.dumps({"request_id": f"w{i}", "prompt": q,
+                                "video": paths[1], "max_new_tokens": 4}) + "\n")
+        f.write(json.dumps({"request_id": "t1", "prompt": "In: text only?\nOut: "}) + "\n")
+
+    outs = {}
+    for shared in (False, True):
+        out = tmp_path / f"results_{shared}.jsonl"
+        cfg = ServeConfig(
+            model_path=str(run_dir), requests=reqs, output=out,
+            slots=2, max_len=128, steps_per_sync=2, max_new_tokens=4,
+            # prefix_budget=1 with two shared videos exercises the HBM-bounded
+            # register -> run -> unregister wave path
+            share_video_prefix=shared, prefix_budget=1, allow_random_weights=True,
+        )
+        serve(cfg=cfg)
+        outs[shared] = {json.loads(l)["request_id"]: json.loads(l) for l in open(out)}
+
+    assert set(outs[True]) == {"v0", "v1", "v2", "w0", "w1", "t1"}
+    for rid in outs[True]:
+        assert outs[True][rid]["finish_reason"] in ("eos", "budget"), rid
+        assert outs[True][rid]["text"] == outs[False][rid]["text"], rid
+
+
+def test_eval_openended_engine_with_prefix_sharing(tmp_path, monkeypatch):
+    """--use_engine: continuous-batching serving with shared-video prefix
+    caching. Predictions match the group-synchronous path per question_id
+    (greedy, so engine parity must be exact), repeated videos admit
+    suffix-only, and the jsonl merge protocol is unchanged."""
+    import shutil
+
+    from scripts.eval_openended import EvalConfig, evaluate
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    # dataset variant with a REPEATED video (the dummy set is all-distinct):
+    # two questions on scene_0 exercise the prefix path, scene_1 stays unique
+    data_root = tmp_path / "eval_data"
+    dd = data_root / "dummy_openended"
+    dd.mkdir(parents=True)
+    shutil.copytree(REPO / "eval_data" / "dummy_openended" / "videos", dd / "videos")
+    qs = [
+        {"video_name": "scene_0", "question_id": "e0", "question": "Describe the dominant color."},
+        {"video_name": "scene_0", "question_id": "e1", "question": "What changes over time?"},
+        {"video_name": "scene_1", "question_id": "e2", "question": "Describe the scene."},
+    ]
+    json.dump(qs, open(dd / "test_q.json", "w"))
+    json.dump([{"question_id": q["question_id"], "answer": "x"} for q in qs],
+              open(dd / "test_a.json", "w"))
+
+    outs = {}
+    for engine in (False, True):
+        cfg = EvalConfig(
+            model_path=str(run_dir),
+            eval_dataset="dummy_openended",
+            max_new_tokens=3,
+            eval_data_root=data_root,
+            eval_result_root=tmp_path / f"eval_result_{engine}",
+            skip_flops=True,
+            use_engine=engine,
+            engine_slots=2,
+            allow_random_weights=True,
+        )
+        evaluate(cfg=cfg)
+        merged = tmp_path / f"eval_result_{engine}" / str(run_dir) / "dummy_openended_pred_merge.jsonl"
+        rows = [json.loads(line) for line in merged.read_text().splitlines()]
+        outs[engine] = {r["question_id"]: r["pred"] for r in rows}
+
+    assert set(outs[True]) == {"e0", "e1", "e2"}
+    for qid in outs[True]:
+        assert outs[True][qid] == outs[False][qid], qid

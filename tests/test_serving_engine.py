@@ -720,3 +720,289 @@ def test_engine_admission_prefetch(decoder_and_params):
         assert np.array_equal(results[f"r{i}"].token_ids, ref), i
     # 1 slot, 4 requests: requests 2-4 admit after chunks ran -> prefetch hits
     assert eng.stats.prefetch_hits >= 2, eng.stats
+
+
+# ---------------------------------------------------------------------------
+# shared-prefix caching (engine-level: suffix-only admission)
+# ---------------------------------------------------------------------------
+
+
+def _build_prefix(dec, params, prefix_ids, kv_cache_dtype=None):
+    from merv_tpu.models.generation import prefill_prefix
+
+    embeds = dec.embed_input_ids(params, jnp.asarray(prefix_ids[None]))
+    return prefill_prefix(dec, params, inputs_embeds=embeds, kv_cache_dtype=kv_cache_dtype)
+
+
+def test_engine_prefix_caching_matches_full_prompt(decoder_and_params):
+    """Requests naming a registered prefix prefill suffix-only, yet outputs
+    are token-identical to full-prompt generate() on [prefix | suffix] —
+    prefix caching is an admission optimization, not a different decoder.
+    Same-(prefix, bucket) admissions share one prefill program."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=1, pad_token_id=0)
+    rng = np.random.RandomState(5)
+    shared = rng.randint(4, 30, (7,)).astype(np.int32)
+    suffixes = _prompts([3, 4, 2, 3], seed=6)
+    refs = _reference_rows(
+        dec, params, [np.concatenate([shared, s]) for s in suffixes], gcfg
+    )
+
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=4, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=4
+    )
+    eng.register_prefix("vid0", _build_prefix(dec, params, shared))
+    results = eng.run(
+        [Request(f"r{i}", input_ids=s, max_new_tokens=6, prefix_id="vid0")
+         for i, s in enumerate(suffixes)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    assert eng.stats.prefix_admissions == 4
+    # all four suffixes land in the Tb=4 bucket -> ONE grouped prefill program
+    assert eng.stats.prefills == 1
+    assert eng.stats.batched_admissions == 4
+
+
+def test_engine_prefix_mixed_with_plain_and_slot_reuse(decoder_and_params):
+    """Prefix and plain requests interleave through shared slots; a slot
+    vacated by a prefix request is safely reused by a plain one (and vice
+    versa) because the splice resets the per-slot pointer either way."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=5, eos_token_id=1, pad_token_id=0)
+    shared = np.random.RandomState(8).randint(4, 30, (6,)).astype(np.int32)
+    suffixes = _prompts([2, 3], seed=9)
+    plains = _prompts([5, 8], seed=10)
+    refs_prefix = _reference_rows(
+        dec, params, [np.concatenate([shared, s]) for s in suffixes], gcfg
+    )
+    refs_plain = _reference_rows(dec, params, plains, gcfg)
+
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=4
+    )
+    eng.register_prefix("p", _build_prefix(dec, params, shared))
+    reqs = [
+        Request("s0", input_ids=suffixes[0], max_new_tokens=5, prefix_id="p"),
+        Request("n0", input_ids=plains[0], max_new_tokens=5),
+        Request("s1", input_ids=suffixes[1], max_new_tokens=5, prefix_id="p"),
+        Request("n1", input_ids=plains[1], max_new_tokens=5),
+    ]
+    results = eng.run(reqs)
+    assert np.array_equal(results["s0"].token_ids, refs_prefix[0])
+    assert np.array_equal(results["s1"].token_ids, refs_prefix[1])
+    assert np.array_equal(results["n0"].token_ids, refs_plain[0])
+    assert np.array_equal(results["n1"].token_ids, refs_plain[1])
+    assert eng.stats.prefix_admissions == 2
+
+
+def test_engine_prefix_fault_isolation(decoder_and_params):
+    """Unknown prefix ids, empty suffixes, and over-budget prefix requests
+    fail per-request (finish_reason='error') BEFORE any device prefill; the
+    rest of the batch completes."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=1, pad_token_id=0)
+    shared = np.random.RandomState(11).randint(4, 30, (6,)).astype(np.int32)
+    good = _prompts([3], seed=12)[0]
+    ref = _reference_rows(dec, params, [np.concatenate([shared, good])], gcfg)[0]
+
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=16, steps_per_sync=2, config=gcfg, length_bucket=4
+    )
+    eng.register_prefix("p", _build_prefix(dec, params, shared))
+    results = eng.run([
+        Request("ok", input_ids=good, max_new_tokens=4, prefix_id="p"),
+        Request("unknown", input_ids=good, max_new_tokens=4, prefix_id="nope"),
+        Request("empty", input_ids=np.zeros((0,), np.int32), max_new_tokens=4, prefix_id="p"),
+        # P=6 + suffix 3 + budget 12 > max_len 16
+        Request("overbudget", input_ids=good, max_new_tokens=12, prefix_id="p"),
+    ])
+    assert np.array_equal(results["ok"].token_ids, ref)
+    for rid in ("unknown", "empty", "overbudget"):
+        assert results[rid].finish_reason == "error", rid
+    assert eng.stats.errors == 3
+    # only the good request paid a prefill
+    assert eng.stats.prefills == 1
+
+
+def test_engine_register_prefix_validation(decoder_and_params):
+    """register_prefix rejects KV-dtype mismatches and prefixes that leave no
+    room under max_len — loudly, at registration (programmer errors, not
+    per-request faults)."""
+    from merv_tpu.models.generation import VideoPrefix
+
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=1, pad_token_id=0)
+    shared = np.random.RandomState(13).randint(4, 30, (6,)).astype(np.int32)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=1, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=4
+    )
+    # VideoPrefix built for int8 serving cannot register on a bf16/fp32 engine
+    vp = VideoPrefix(
+        cache=_build_prefix(dec, params, shared, kv_cache_dtype="int8"),
+        bos_ids=(), kv_cache_dtype="int8",
+    )
+    with pytest.raises(ValueError, match="kv_cache_dtype"):
+        eng.register_prefix("bad-dtype", vp)
+    # bare-cache dtype mismatch caught too
+    with pytest.raises(ValueError, match="dtype"):
+        eng.register_prefix("bad-dtype2", _build_prefix(dec, params, shared, kv_cache_dtype="int8"))
+    # a prefix as long as max_len leaves no room for suffix + generation
+    long_ids = np.random.RandomState(14).randint(4, 30, (32,)).astype(np.int32)
+    with pytest.raises(ValueError, match="no room"):
+        eng.register_prefix("too-long", _build_prefix(dec, params, long_ids))
+
+
+def test_engine_prefix_int8_kv(decoder_and_params):
+    """Prefix caching composes with int8 KV serving: the registered prefix is
+    quantized, the suffix prefill writes quantized rows, outputs match the
+    int8 full-prompt engine path."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(
+        max_new_tokens=5, eos_token_id=1, pad_token_id=0, kv_cache_dtype="int8"
+    )
+    shared = np.random.RandomState(15).randint(4, 30, (6,)).astype(np.int32)
+    suffixes = _prompts([3, 2], seed=16)
+
+    # reference: the same engine WITHOUT prefix caching on the full prompts
+    ref_eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=4
+    )
+    ref_results = ref_eng.run(
+        [Request(f"r{i}", input_ids=np.concatenate([shared, s]), max_new_tokens=5)
+         for i, s in enumerate(suffixes)]
+    )
+
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=4
+    )
+    eng.register_prefix("p", _build_prefix(dec, params, shared, kv_cache_dtype="int8"))
+    results = eng.run(
+        [Request(f"r{i}", input_ids=s, max_new_tokens=5, prefix_id="p")
+         for i, s in enumerate(suffixes)]
+    )
+    for i in range(len(suffixes)):
+        # int8 KV quantizes per-position on write: the prefix path and the
+        # full-prompt path quantize identical k/v rows, so outputs match
+        assert np.array_equal(results[f"r{i}"].token_ids, ref_results[f"r{i}"].token_ids), i
+
+
+def test_engine_prefix_speculative(decoder_and_params):
+    """Prefix caching composes with batched speculative decoding: the suffix
+    ids seed the draft corpus, outputs stay exact (greedy spec is lossless)."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=1, pad_token_id=0)
+    shared = np.random.RandomState(17).randint(4, 30, (6,)).astype(np.int32)
+    suffixes = _prompts([3, 4], seed=18)
+    refs = _reference_rows(
+        dec, params, [np.concatenate([shared, s]) for s in suffixes], gcfg
+    )
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=32, steps_per_sync=2, config=gcfg,
+        length_bucket=4, speculative_gamma=2,
+    )
+    eng.register_prefix("p", _build_prefix(dec, params, shared))
+    results = eng.run(
+        [Request(f"r{i}", input_ids=s, max_new_tokens=6, prefix_id="p")
+         for i, s in enumerate(suffixes)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+
+
+def test_engine_for_vidlm_prefix_video():
+    """VidLM engine prefix caching: register a video ONCE, serve several
+    questions suffix-only — outputs token-identical to full multimodal
+    requests through the same engine (the reference's eval regime: several
+    questions per video, reference merv.py:779-830 recomputes everything)."""
+    from tests.test_merv_vidlm import _make_merv
+
+    m = _make_merv()
+    params = m.init(KEY)
+    video = (np.random.RandomState(21).rand(4, 32, 32, 3) * 255).astype(np.uint8)
+    prompts = ["In: a?\nOut: ", "In: what is happening?\nOut: ", "In: b?\nOut: "]
+    stop = m.llm_backbone.stop_token_id
+    gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=stop, pad_token_id=0)
+
+    ref_eng = ContinuousBatchingEngine.for_vidlm(
+        m, params, slots=2, max_len=128, steps_per_sync=2, config=gcfg, length_bucket=8
+    )
+    refs = ref_eng.run(
+        [Request(f"r{i}", prompt_text=p, video=video, max_new_tokens=4)
+         for i, p in enumerate(prompts)]
+    )
+
+    eng = ContinuousBatchingEngine.for_vidlm(
+        m, params, slots=2, max_len=128, steps_per_sync=2, config=gcfg, length_bucket=8
+    )
+    eng.register_prefix_video("vid", video)
+    results = eng.run(
+        [Request(f"r{i}", prompt_text=p, max_new_tokens=4, prefix_id="vid")
+         for i, p in enumerate(prompts)]
+    )
+    for i in range(len(prompts)):
+        assert np.array_equal(results[f"r{i}"].token_ids, refs[f"r{i}"].token_ids), i
+    assert eng.stats.prefix_admissions == 3
+    # towers ran once (inside register_prefix_video), not per request; the
+    # suffix prefills are LLM-only and batch per (prefix, bucket)
+    assert eng.stats.prefills <= 3
+
+
+def test_engine_unregister_prefix(decoder_and_params):
+    """unregister_prefix frees the registry entry: later requests naming it
+    fail per-request (wave-based serving: scripts/serve.py --prefix_budget),
+    while re-registering under the same id works."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=1, pad_token_id=0)
+    shared = np.random.RandomState(19).randint(4, 30, (6,)).astype(np.int32)
+    suf = _prompts([3], seed=20)[0]
+    ref = _reference_rows(dec, params, [np.concatenate([shared, suf])], gcfg)[0]
+
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=1, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=4
+    )
+    eng.register_prefix("p", _build_prefix(dec, params, shared))
+    r1 = eng.run([Request("a", input_ids=suf, max_new_tokens=4, prefix_id="p")])
+    assert np.array_equal(r1["a"].token_ids, ref)
+
+    eng.unregister_prefix("p")
+    r2 = eng.run([Request("b", input_ids=suf, max_new_tokens=4, prefix_id="p")])
+    assert r2["b"].finish_reason == "error"
+
+    eng.register_prefix("p", _build_prefix(dec, params, shared))
+    r3 = eng.run([Request("c", input_ids=suf, max_new_tokens=4, prefix_id="p")])
+    assert np.array_equal(r3["c"].token_ids, ref)
+
+
+def test_engine_prefix_under_sequence_parallel_mesh(decoder_and_params):
+    """Prefix caching composes with the sp-sharded slot cache: the registered
+    prefix replicates, the suffix prefill's [prefix | suffix] rows splice
+    into the rows-sharded slot cache through GSPMD, and outputs stay
+    identical to single-device full-prompt generate()."""
+    from merv_tpu.parallel import MeshConfig, build_mesh
+    from merv_tpu.parallel.mesh import SEQ_AXIS
+
+    dec, params = decoder_and_params
+    dec_sp = dataclasses.replace(dec, cfg=dataclasses.replace(dec.cfg, sequence_parallel=True))
+    mesh = build_mesh(MeshConfig(data=1, fsdp=-1, tensor=1, seq=2))
+
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=1, pad_token_id=0)
+    shared = np.random.RandomState(33).randint(4, 30, (6,)).astype(np.int32)
+    suffixes = _prompts([3, 4], seed=34)
+    refs = _reference_rows(
+        dec, params, [np.concatenate([shared, s]) for s in suffixes], gcfg
+    )
+
+    eng = ContinuousBatchingEngine(
+        dec_sp, params, slots=2, max_len=32, steps_per_sync=2, config=gcfg,
+        length_bucket=4, mesh=mesh,
+    )
+    assert eng._cache.k.sharding.spec[3] == SEQ_AXIS
+    eng.register_prefix("p", _build_prefix(dec, params, shared))
+    results = eng.run(
+        [Request(f"r{i}", input_ids=s, max_new_tokens=6, prefix_id="p")
+         for i, s in enumerate(suffixes)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    assert eng.stats.prefix_admissions == 2
