@@ -12,7 +12,8 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -23,6 +24,25 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
 
 import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Bound live JIT code across the suite.
+#
+# Module-level ``jax.jit`` functions in the package (decode chunks, insert/
+# splice programs, train steps, ...) never die, so their executable caches
+# accumulate one compiled CPU program per distinct shape across EVERY test.
+# ~270 tests in, the accumulated live JIT code deterministically SIGSEGV'd the
+# XLA CPU compiler (libgcc unwinder, page-aligned read fault inside
+# ``backend.compile_and_load``) while every test file passes in isolation.
+# Pinning executables made the crash happen EARLIER and serializing codegen
+# (--xla_cpu_parallel_codegen_split_count=1) did not move it — the trigger is
+# total live compiled-code volume, not concurrency. Clearing jax's caches
+# between test modules keeps live code bounded by the largest single module;
+# cross-module program reuse is negligible, so suite time is unaffected.
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_jit_code():
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
