@@ -397,6 +397,7 @@ class ContinuousBatchingEngine:
         speculative_break_even: float = 1.2,
         speculative_autodisable: bool = False,
         batch_admissions: bool = True,
+        fuse_admission_buckets: bool = True,
         mesh: Optional[Any] = None,
         result_callback: Optional[Callable[[RequestResult], None]] = None,
     ) -> None:
@@ -435,6 +436,11 @@ class ContinuousBatchingEngine:
         # prefill fns stay per-request. batch_admissions=False forces the
         # per-request path (the A/B knob bench_serving's churn phase uses).
         self._can_batch_prefill = prefill_fn is None and batch_admissions
+        # cross-bucket fusion: short-prompt prefill is weight-stream-bound
+        # (the measured churn regime), so padding every pending admission to
+        # the largest bucket among them is nearly free — ONE prefill program
+        # per admission event instead of one per distinct bucket
+        self._fuse_buckets = fuse_admission_buckets
         # host-side preparation hook (video decode / tokenization) that the
         # prefetcher runs while the device decodes a chunk. Custom prefill_fns
         # start with prefetch disabled — a frontend that supports it assigns
@@ -682,6 +688,21 @@ class ContinuousBatchingEngine:
         mask[0, : len(ids)] = 1
         return padded, mask, ids
 
+    def _repad(self, prepared: Tuple, Tb: int) -> Tuple:
+        """Right-pad a prepared (ids [1,T], mask [1,T], raw) payload to bucket
+        ``Tb`` — cross-bucket admission fusion pads every pending admit to the
+        largest bucket among them so they share one prefill program (prefill
+        at these lengths is weight-stream-bound; the pad FLOPs are free)."""
+        ids0, mask0 = prepared[0], prepared[1]
+        T = ids0.shape[1]
+        if T == Tb:
+            return prepared
+        ids = np.full((1, Tb), self.config.pad_token_id, np.int32)
+        mask = np.zeros((1, Tb), np.int32)
+        ids[:, :T] = ids0
+        mask[:, :T] = mask0
+        return (ids, mask) + tuple(prepared[2:])
+
     def _prepare_suffix(self, req: Request):
         """Host-side prep for a shared-prefix request: resolve the suffix
         tokens (``input_ids`` directly, or ``prompt_text`` through the
@@ -840,6 +861,16 @@ class ContinuousBatchingEngine:
         # LLM-level work even on VidLM engines, whose full-pipeline prefills
         # cannot batch)
         if prefix_admits:
+            if self._fuse_buckets:
+                # pad each prefix's pending suffixes to its largest bucket —
+                # same-(prefix) admits then always share one program
+                pmax: Dict[str, int] = {}
+                for _, req, prepared in prefix_admits:
+                    pid = req.prefix_id
+                    pmax[pid] = max(pmax.get(pid, 0), prepared[0].shape[1])
+                prefix_admits = [
+                    (s, r, self._repad(p, pmax[r.prefix_id])) for s, r, p in prefix_admits
+                ]
             pgroups: Dict[Tuple[str, int], List[Tuple[int, Request, Any]]] = {}
             for item in prefix_admits:
                 pgroups.setdefault((item[1].prefix_id, item[2][0].shape[1]), []).append(item)
@@ -873,6 +904,9 @@ class ContinuousBatchingEngine:
         #    a short-prompt prefill — is paid once for all of them); custom
         #    prefill fns run per-request.
         if self._can_batch_prefill:
+            if self._fuse_buckets and len(admits) > 1:
+                Tb_max = max(it[2][0].shape[1] for it in admits)
+                admits = [(s, r, self._repad(p, Tb_max)) for s, r, p in admits]
             groups: Dict[int, List[Tuple[int, Request, Any]]] = {}
             for item in admits:
                 groups.setdefault(item[2][0].shape[1], []).append(item)

@@ -144,20 +144,21 @@ def _phase(phase: str) -> dict:
             churn.append(Request(f"h{i}", input_ids=ids, max_new_tokens=budget))
         tot = sum(r.max_new_tokens for r in churn)
 
-        def run_churn(batched: bool):
+        def run_churn(batched: bool, fused: bool = False):
             eng = ContinuousBatchingEngine(
                 decoder, params, slots=slots, max_len=max_len,
                 steps_per_sync=steps_per_sync, config=gcfg, length_bucket=16,
-                batch_admissions=batched,
+                batch_admissions=batched, fuse_admission_buckets=fused,
             )
             t0 = time.perf_counter()
             eng.run(list(churn))
             return time.perf_counter() - t0, eng.stats
 
-        run_churn(True); run_churn(False)  # compile both program sets
-        for batched in (True, False):
-            s, st = min((run_churn(batched) for _ in range(2)), key=lambda x: x[0])
-            key = "batched" if batched else "per_request"
+        modes = [("fused", (True, True)), ("batched", (True, False)), ("per_request", (False, False))]
+        for _, m in modes:
+            run_churn(*m)  # compile every program set
+        for key, m in modes:
+            s, st = min((run_churn(*m) for _ in range(2)), key=lambda x: x[0])
             out[key] = {
                 "tok_s": round(tot / s, 2),
                 "util": round(st.slot_utilization, 3),

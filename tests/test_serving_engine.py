@@ -263,6 +263,66 @@ def test_engine_batch_admissions_off(decoder_and_params):
     assert 0.0 < eng.stats.prefill_stall_share < 1.0
 
 
+def test_engine_cross_bucket_admission_fusion(decoder_and_params):
+    """Pending admissions in DIFFERENT length buckets fuse into one prefill
+    program (every row padded to the largest pending bucket) and outputs stay
+    exactly equal to solo generate() calls. Short-prompt prefill is
+    weight-stream-bound, so the pad FLOPs are free — this turns the churn
+    regime's one-program-per-bucket into one-program-per-admission-event."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([3, 6, 11, 14], seed=31)  # buckets 4 / 8 / 12 / 16
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=4, max_len=48, steps_per_sync=3, config=gcfg, length_bucket=4
+    )
+    results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)])
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    assert eng.stats.prefills == 1  # four buckets, ONE program
+    assert eng.stats.batched_admissions == 4
+
+    # fusion off: one program per distinct bucket (the pre-round-4 behavior)
+    eng2 = ContinuousBatchingEngine(
+        dec, params, slots=4, max_len=48, steps_per_sync=3, config=gcfg,
+        length_bucket=4, fuse_admission_buckets=False,
+    )
+    results2 = eng2.run(
+        [Request(f"r{i}", input_ids=p, max_new_tokens=8) for i, p in enumerate(prompts)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results2[f"r{i}"].token_ids, ref), i
+    assert eng2.stats.prefills == 4
+
+
+def test_engine_prefix_cross_bucket_fusion(decoder_and_params):
+    """Same-prefix suffix admissions in different buckets fuse into one
+    suffix-prefill program, token-identical to the unfused path."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=1, pad_token_id=0)
+    rng = np.random.RandomState(7)
+    prefix_ids = rng.randint(4, 30, (9,)).astype(np.int32)
+    suffixes = [rng.randint(4, 30, (n,)).astype(np.int32) for n in (3, 6, 10)]
+
+    def build(fuse):
+        eng = ContinuousBatchingEngine(
+            dec, params, slots=4, max_len=64, steps_per_sync=3, config=gcfg,
+            length_bucket=4, fuse_admission_buckets=fuse,
+        )
+        eng.register_prefix("vid", _build_prefix(dec, params, prefix_ids))
+        return eng, eng.run([
+            Request(f"s{i}", input_ids=s, max_new_tokens=6, prefix_id="vid")
+            for i, s in enumerate(suffixes)
+        ])
+
+    eng_f, res_f = build(True)
+    eng_u, res_u = build(False)
+    for i in range(len(suffixes)):
+        assert np.array_equal(res_f[f"s{i}"].token_ids, res_u[f"s{i}"].token_ids), i
+    assert eng_f.stats.prefills == 1
+    assert eng_u.stats.prefills == 3
+
+
 def test_engine_result_callback_incremental(decoder_and_params):
     """result_callback fires the moment each request finishes (the serve.py
     incremental-write/resume protocol), including error results."""
