@@ -12,15 +12,12 @@ Usage:  python scripts/bench_breakdown.py [--layers 32] [--batch 2]
 from __future__ import annotations
 
 import argparse
-import os
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from merv_tpu.util.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()

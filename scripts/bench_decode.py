@@ -12,10 +12,7 @@ from __future__ import annotations
 
 import json
 import os
-import sys
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from merv_tpu.util.cache import enable_compile_cache
 
@@ -26,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bench import build_model  # noqa: E402
 from merv_tpu.models.backbones.llm.transformer import KVCache  # noqa: E402

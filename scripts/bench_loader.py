@@ -13,11 +13,9 @@ Usage: python scripts/bench_loader.py [--seconds 10] (measurement window)
 
 from __future__ import annotations
 
-import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import json
 import os

@@ -26,9 +26,7 @@ import json
 import os
 import sys
 import time
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from merv_tpu.util.cache import enable_compile_cache
 

@@ -18,7 +18,6 @@ Usage:  python scripts/bench_tower_ops.py [--tower dinov2|languagebind|siglip|vi
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import time
 
@@ -26,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from merv_tpu.util.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()

@@ -10,10 +10,7 @@ Env: BENCH_LLM_LAYERS (default 8), BENCH_BATCH (default 2), BENCH_TEXT (64).
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import json
 import os
@@ -21,9 +18,7 @@ import os
 from merv_tpu.util.cache import enable_compile_cache
 
 enable_compile_cache()
-import sys
 import time
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp

@@ -6,10 +6,7 @@ providers without batch endpoints). Shares the judge prompt contract with
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import argparse
 import ast

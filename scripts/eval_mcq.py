@@ -9,10 +9,8 @@ per step (the reference generates one sample at a time).
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import glob
 import json

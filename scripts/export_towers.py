@@ -29,10 +29,8 @@ Sources per family (local path always wins; network only with --online):
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import argparse
 import os

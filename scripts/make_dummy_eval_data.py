@@ -8,10 +8,8 @@ eval drivers work out of the box.
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import json
 from pathlib import Path

@@ -16,10 +16,8 @@ model. --quantize_llm is required single-chip (bf16 7B does not fit 16 GB).
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import json
 

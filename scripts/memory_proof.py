@@ -42,10 +42,8 @@ import argparse
 import dataclasses
 import json
 import time
-from pathlib import Path
 from typing import Any, Dict, List, Tuple
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # virtual device count must be fixed before the backend initializes, which
 # happens on first real jax use — peek argv ahead of the full parse

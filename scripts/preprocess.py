@@ -3,10 +3,8 @@
 Run with: ``python scripts/preprocess.py --dataset_id <DATASET_ID>``
 """
 
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from dataclasses import dataclass
 from pathlib import Path

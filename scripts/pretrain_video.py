@@ -14,10 +14,8 @@ because XLA SPMD shards one program instead of running one process per chip.
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import json
 import os

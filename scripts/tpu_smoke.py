@@ -9,10 +9,7 @@ through the tunnel — every check forces completion with a scalar fetch.
 
 from __future__ import annotations
 
-import sys
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import time
 
