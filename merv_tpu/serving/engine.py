@@ -17,7 +17,17 @@ instead:
 - decode runs ``steps_per_sync`` tokens for ALL slots as one jitted
   ``lax.scan`` program (``_decode_chunk``); the host syncs once per chunk to
   emit tokens, retire finished slots, and admit queued requests into the
-  freed rows.
+  freed rows;
+- admission is ASYNC by default: prefill, slot insert, and the next decode
+  chunk are dispatched back-to-back without a device->host readback in
+  between (the first sampled token resolves at the next chunk's sync), so
+  the device queue never drains while the host waits on a prefill — the
+  only admission cost decode still sees is the prefill's own device time
+  (the true FLOPs, already minimized by batched + fused admission). This is
+  the chunked-prefill-interleaving goal reached by pipelining whole
+  bucketed prefills instead of splitting them: at engine bucket sizes
+  prefill is weight-stream-bound, so token-chunking a prompt would only
+  multiply the number of weight streams it pays.
 
 Everything under jit has static shapes: the engine compiles exactly one
 decode program plus one (prefill, insert) pair per prompt-length bucket,
@@ -93,9 +103,15 @@ class EngineStats:
     decode_steps: int = 0
     slot_steps_active: int = 0  # slot-steps spent on live requests
     slot_steps_idle: int = 0  # slot-steps wasted on empty/finished slots
-    prefill_buckets: List[int] = field(default_factory=list)
+    prefill_buckets: List[int] = field(default_factory=list)  # distinct POST-fusion program buckets
+    # one entry PER admission, recording its pre-fusion (true prompt-length)
+    # bucket — the distribution length_bucket tuning reads; prefill_buckets
+    # only shows what fused programs compiled, not what the workload looked like
+    admit_buckets: List[int] = field(default_factory=list)
     spec_steps: int = 0  # verify forwards executed for live slots (speculative mode)
     spec_emitted: int = 0  # tokens those forwards produced (>= spec_steps)
+    spec_disables: int = 0  # monitor fell back to plain decode (below break-even)
+    spec_reenables: int = 0  # monitor re-enabled (trailing estimate recovered)
     prefetch_hits: int = 0  # admissions whose host prep overlapped a decode chunk
     errors: int = 0  # requests that failed (corrupt media / over-budget / prep error)
     batched_admissions: int = 0  # admissions that shared a prefill program with others
@@ -110,9 +126,13 @@ class EngineStats:
 
     @property
     def prefill_stall_share(self) -> float:
-        """Fraction of serving wall time decode spent waiting on admissions
-        (device prefill + any host prep the prefetcher didn't hide). The
-        chunk sync makes both spans host-attributable."""
+        """Fraction of serving wall time the host spent inside admission
+        (host prep the prefetcher didn't hide, dispatch, and — with
+        ``async_admission=False`` — the blocking prefill readback). Under
+        async admission the prefill readback pipelines into the next chunk
+        sync, so this measures only the residual host-side admission work;
+        the prefill's device time (true FLOPs, already minimized by batched
+        + fused admission) then lands in ``decode_s``."""
         total = self.admit_s + self.decode_s
         return self.admit_s / total if total else 0.0
 
@@ -127,6 +147,78 @@ class _Slot:
     request: Optional[Request] = None
     emitted: List[int] = field(default_factory=list)
     done: bool = True  # no occupant
+    # host-side draft corpus mirror (prompt ids), kept whenever the engine is
+    # speculation-capable so the monitor can (a) estimate n-gram acceptance
+    # from the plain-decode stream while speculation is disabled and
+    # (b) rebuild the device hist buffers on re-enable
+    prompt_ids: Optional[List[int]] = None
+    est_pos: int = 0  # next history index the acceptance estimator consumes
+    # async admission: (device first-token array [n], row) whose host value
+    # has not been read yet — resolved at the next chunk sync, so the
+    # admission never blocks the dispatch pipeline on a device->host readback
+    pending_first: Optional[Tuple[Array, int]] = None
+
+
+# Measured verify-step cost relative to a plain decode step (chip, full-depth
+# int8 llama-7B, v5e — BASELINE.md "Speculative decoding characterized":
+# plain 9.915 ms; gamma=2 12.517 ms; gamma=4 12.982 ms; gamma=8 13.557 ms).
+# The verify program is static so the ratio is acceptance-independent; the
+# monitor uses it to pick gamma = argmax est_tokens_per_step(g) / cost(g).
+_SPEC_COST_RATIO = {2: 1.262, 4: 1.309, 8: 1.367}
+
+
+def _spec_cost_ratio(gamma: int) -> float:
+    """Interpolate/extrapolate the measured verify-cost table for other gammas."""
+    if gamma in _SPEC_COST_RATIO:
+        return _SPEC_COST_RATIO[gamma]
+    xs = sorted(_SPEC_COST_RATIO)
+    if gamma <= xs[0]:
+        return _SPEC_COST_RATIO[xs[0]]
+    for lo, hi in zip(xs, xs[1:]):
+        if gamma <= hi:
+            f = (gamma - lo) / (hi - lo)
+            return _SPEC_COST_RATIO[lo] + f * (_SPEC_COST_RATIO[hi] - _SPEC_COST_RATIO[lo])
+    # beyond the table: extend the last measured slope
+    slope = (_SPEC_COST_RATIO[xs[-1]] - _SPEC_COST_RATIO[xs[-2]]) / (xs[-1] - xs[-2])
+    return _SPEC_COST_RATIO[xs[-1]] + slope * (gamma - xs[-1])
+
+
+def _ngram_propose_host(h: List[int], gamma: int, ngram: int, pad_id: int) -> List[int]:
+    """Host mirror of :func:`merv_tpu.models.generation._ngram_propose` (same
+    cascade: the most recent strictly-previous occurrence of the LONGEST
+    matching suffix wins; what followed it is the draft). Used only by the
+    acceptance estimator — never on the decode path."""
+    L = len(h)
+    for n in range(min(ngram, L - 1), 0, -1):
+        key = h[L - n :]
+        for s in range(L - n - 1, -1, -1):
+            if h[s : s + n] == key:
+                d = h[s + n : s + n + gamma]
+                return d + [pad_id] * (gamma - len(d))
+    return [pad_id] * gamma
+
+
+def _sim_spec_steps(
+    h: List[int], start: int, gamma: int, ngram: int, pad_id: int
+) -> Tuple[int, int]:
+    """Simulate prompt-lookup speculation over an ALREADY-emitted greedy
+    stream: at each virtual verify step the drafter sees ``h[:i]`` and the
+    actual continuation ``h[i:]`` decides acceptance. Greedy acceptance is
+    exact-match, so the plain-decode stream IS the counterfactual speculative
+    stream — this estimate is unbiased and costs zero device time. Returns
+    (virtual verify steps, tokens those steps would have emitted)."""
+    steps = emitted = 0
+    i = max(start, ngram + 1)
+    L = len(h)
+    while i < L:
+        draft = _ngram_propose_host(h[:i], gamma, ngram, pad_id)
+        k = 0
+        while k < gamma and i + k < L and draft[k] == h[i + k]:
+            k += 1
+        steps += 1
+        emitted += min(k + 1, L - i)
+        i += k + 1
+    return steps, emitted
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
@@ -395,9 +487,12 @@ class ContinuousBatchingEngine:
         speculative_gamma: int = 0,
         speculative_ngram: int = 2,
         speculative_break_even: float = 1.2,
-        speculative_autodisable: bool = False,
+        speculative_autodisable: bool = True,
         batch_admissions: bool = True,
         fuse_admission_buckets: bool = True,
+        fuse_max_bucket: int = 256,
+        fuse_max_ratio: int = 4,
+        async_admission: bool = True,
         mesh: Optional[Any] = None,
         result_callback: Optional[Callable[[RequestResult], None]] = None,
     ) -> None:
@@ -414,13 +509,28 @@ class ContinuousBatchingEngine:
         self.spec_ngram = speculative_ngram
         # realized tokens/step below this is a net loss (the gamma+1 verify
         # step costs ~breakeven x a plain decode step — measured on-chip, see
-        # BASELINE.md "Speculative decoding acceptance curve"); after a probe
-        # window the engine warns, and with autodisable=True falls back to
-        # plain decode for the rest of the run (compiles the plain program)
+        # BASELINE.md "Speculative decoding acceptance curve"). With
+        # autodisable=True (default) the monitor is TWO-WAY: a trailing
+        # window of realized tokens/verify-step below break-even disables
+        # speculation (plain decode compiles on the next chunk), and while
+        # disabled a zero-device-cost host simulation of the n-gram drafter
+        # over the plain-decode stream estimates acceptance — when the
+        # trailing estimate clears break-even (x a hysteresis margin) the
+        # engine re-enables, picking gamma from the measured per-gamma
+        # verify-cost curve (_SPEC_COST_RATIO). Greedy speculation is
+        # exact-match so transitions never change emitted tokens.
         self.spec_break_even = speculative_break_even
         self.spec_autodisable = speculative_autodisable
         self._spec_probe_steps = 128
         self._spec_warned = False
+        self._spec_capable = speculative_gamma > 0
+        self._spec_gamma0 = speculative_gamma
+        self._spec_off_by_monitor = False
+        self._spec_reenable_margin = 1.1
+        self._spec_win_steps = 0  # trailing window while speculating (real verify steps)
+        self._spec_win_emitted = 0
+        self._est_win_steps = 0  # trailing window while monitor-disabled (simulated)
+        self._est_win_emitted = 0
         if prefill_fn is not None:
             import inspect
 
@@ -438,9 +548,31 @@ class ContinuousBatchingEngine:
         self._can_batch_prefill = prefill_fn is None and batch_admissions
         # cross-bucket fusion: short-prompt prefill is weight-stream-bound
         # (the measured churn regime), so padding every pending admission to
-        # the largest bucket among them is nearly free — ONE prefill program
-        # per admission event instead of one per distinct bucket
+        # a shared bucket is nearly free — ONE prefill program per fused
+        # group instead of one per distinct bucket. Fusion is GATED: a
+        # bucket only joins a group while the fused (max) length stays below
+        # ``fuse_max_bucket`` tokens — the weight-stream/compute crossover,
+        # T* ≈ peak_flops/HBM_bw ≈ 197e12/819e9 ≈ 240 on v5e, past which the
+        # pad FLOPs are no longer free — AND the pad spread stays bounded
+        # (``group_max <= fuse_max_ratio * group_min``), so a near-max_len
+        # prompt never drags short prompts into its compute-bound prefill.
+        # Ungated fusion also allocated the fused small cache at
+        # [L, n_prog, H, Tb_max, D] — a transient HBM spike the gate bounds.
         self._fuse_buckets = fuse_admission_buckets
+        self._fuse_max_bucket = fuse_max_bucket
+        self._fuse_max_ratio = fuse_max_ratio
+        # async admission (prefill/decode pipelining): placement dispatches
+        # prefill + insert and returns WITHOUT reading the first sampled
+        # token back — the next decode chunk is dispatched immediately behind
+        # them, so the device queue never drains while the host waits on a
+        # prefill readback (each blocking readback costs device idle ~ the
+        # prefill + a host round-trip; on a remote-dispatch tunnel the RTT
+        # alone is ~27 ms/admission event). The first token resolves at the
+        # next chunk sync (one batched readback). Requires a host-side
+        # sequence-length bound for the pre-prefill budget check, so custom
+        # prefill fns without a ``prepared_len`` hook fall back to blocking
+        # placement. Token streams are bit-identical either way.
+        self._async_admission = async_admission
         # host-side preparation hook (video decode / tokenization) that the
         # prefetcher runs while the device decodes a chunk. Custom prefill_fns
         # start with prefetch disabled — a frontend that supports it assigns
@@ -474,8 +606,12 @@ class ContinuousBatchingEngine:
         cache_dtype = jnp.int8 if config.kv_cache_dtype == "int8" else decoder.cfg.compute_dtype
         # gamma+1 spare rows: a live slot's pointer may advance up to gamma+1
         # past its last in-budget token before the host syncs; the freeze
-        # guard in _decode_chunk_spec only fires past max_len
-        rows = max_len + (speculative_gamma + 1 if speculative_gamma else 0)
+        # guard in _decode_chunk_spec only fires past max_len. Size the spare
+        # for the LARGEST gamma the two-way monitor may re-pick (candidates
+        # top out at 8) — a smaller spare would freeze near-full slots
+        # forever after an upward gamma re-pick.
+        spare_gamma = max(speculative_gamma, 8) if speculative_gamma else 0
+        rows = max_len + (spare_gamma + 1 if spare_gamma else 0)
         if mesh is not None and decoder.cfg.sequence_parallel:
             from merv_tpu.parallel.mesh import SEQ_AXIS as _SP
 
@@ -697,11 +833,35 @@ class ContinuousBatchingEngine:
         T = ids0.shape[1]
         if T == Tb:
             return prepared
+        if Tb < T:
+            raise ValueError(f"_repad target {Tb} is smaller than payload length {T}")
         ids = np.full((1, Tb), self.config.pad_token_id, np.int32)
         mask = np.zeros((1, Tb), np.int32)
         ids[:, :T] = ids0
         mask[:, :T] = mask0
         return (ids, mask) + tuple(prepared[2:])
+
+    def _fusion_targets(self, buckets: List[int]) -> Dict[int, int]:
+        """Map each distinct pending bucket to the bucket its group fuses to.
+        Greedy ascending merge, gated so fused prefills stay weight-stream-
+        bound: a bucket joins the current group only while it is at most
+        ``fuse_max_bucket`` (the compute/HBM crossover length) and at most
+        ``fuse_max_ratio`` x the group's smallest bucket. Buckets past the
+        gate start their own group (same-bucket admissions still batch — the
+        downstream grouping is by post-fusion bucket)."""
+        distinct = sorted(set(buckets))
+        targets: Dict[int, int] = {}
+        group: List[int] = [distinct[0]]
+        for Tb in distinct[1:]:
+            if Tb <= self._fuse_max_bucket and Tb <= group[0] * self._fuse_max_ratio:
+                group.append(Tb)
+            else:
+                for b in group:
+                    targets[b] = group[-1]
+                group = [Tb]
+        for b in group:
+            targets[b] = group[-1]
+        return targets
 
     def _prepare_suffix(self, req: Request):
         """Host-side prep for a shared-prefix request: resolve the suffix
@@ -748,6 +908,7 @@ class ContinuousBatchingEngine:
         padded, mask, ids = prepared if prepared is not None else self._prepare_llm(req)
         if padded.shape[1] not in self.stats.prefill_buckets:
             self.stats.prefill_buckets.append(padded.shape[1])
+        self.stats.admit_buckets.append(padded.shape[1])
         small, first, n_valid = self._jit_prefill(
             self.decoder, self.llm_params, self.config,
             jnp.asarray(padded), jnp.asarray(mask), self._next_key(),
@@ -861,15 +1022,18 @@ class ContinuousBatchingEngine:
         # LLM-level work even on VidLM engines, whose full-pipeline prefills
         # cannot batch)
         if prefix_admits:
+            self.stats.admit_buckets.extend(it[2][0].shape[1] for it in prefix_admits)
             if self._fuse_buckets:
-                # pad each prefix's pending suffixes to its largest bucket —
-                # same-(prefix) admits then always share one program
-                pmax: Dict[str, int] = {}
+                # pad each prefix's pending suffixes toward its largest bucket
+                # (gated like the main path) — same-(prefix, gate-group)
+                # admits then share one program
+                by_pid: Dict[str, List[int]] = {}
                 for _, req, prepared in prefix_admits:
-                    pid = req.prefix_id
-                    pmax[pid] = max(pmax.get(pid, 0), prepared[0].shape[1])
+                    by_pid.setdefault(req.prefix_id, []).append(prepared[0].shape[1])
+                ptargets = {pid: self._fusion_targets(bs) for pid, bs in by_pid.items()}
                 prefix_admits = [
-                    (s, r, self._repad(p, pmax[r.prefix_id])) for s, r, p in prefix_admits
+                    (s, r, self._repad(p, ptargets[r.prefix_id][p[0].shape[1]]))
+                    for s, r, p in prefix_admits
                 ]
             pgroups: Dict[Tuple[str, int], List[Tuple[int, Request, Any]]] = {}
             for item in prefix_admits:
@@ -892,10 +1056,15 @@ class ContinuousBatchingEngine:
                 self.stats.prefix_admissions += n_real
                 if n_real > 1:
                     self.stats.batched_admissions += n_real
-                first_h, n_valid_h = np.asarray(first), np.asarray(n_valid)
-                for row, (slot_idx, req, prepared) in enumerate(items):
-                    self._place(slot_idx, req, small, first, n_valid, row,
-                                int(first_h[row]), int(n_valid_h[row]), prepared[2])
+                if self._async_admission:
+                    for row, (slot_idx, req, prepared) in enumerate(items):
+                        self._place_async(slot_idx, req, small, first, n_valid, row,
+                                          _P + len(prepared[2]), prepared[2])
+                else:
+                    first_h, n_valid_h = np.asarray(first), np.asarray(n_valid)
+                    for row, (slot_idx, req, prepared) in enumerate(items):
+                        self._place(slot_idx, req, small, first, n_valid, row,
+                                    int(first_h[row]), int(n_valid_h[row]), prepared[2])
         if not admits:
             return
 
@@ -904,9 +1073,12 @@ class ContinuousBatchingEngine:
         #    a short-prompt prefill — is paid once for all of them); custom
         #    prefill fns run per-request.
         if self._can_batch_prefill:
+            self.stats.admit_buckets.extend(it[2][0].shape[1] for it in admits)
             if self._fuse_buckets and len(admits) > 1:
-                Tb_max = max(it[2][0].shape[1] for it in admits)
-                admits = [(s, r, self._repad(p, Tb_max)) for s, r, p in admits]
+                targets = self._fusion_targets([it[2][0].shape[1] for it in admits])
+                admits = [
+                    (s, r, self._repad(p, targets[p[0].shape[1]])) for s, r, p in admits
+                ]
             groups: Dict[int, List[Tuple[int, Request, Any]]] = {}
             for item in admits:
                 groups.setdefault(item[2][0].shape[1], []).append(item)
@@ -930,10 +1102,15 @@ class ContinuousBatchingEngine:
                 self.stats.prefills += 1
                 if n_real > 1:
                     self.stats.batched_admissions += n_real
-                first_h, n_valid_h = np.asarray(first), np.asarray(n_valid)
-                for row, (slot_idx, req, prepared) in enumerate(items):
-                    self._place(slot_idx, req, small, first, n_valid, row,
-                                int(first_h[row]), int(n_valid_h[row]), prepared[2])
+                if self._async_admission:
+                    for row, (slot_idx, req, prepared) in enumerate(items):
+                        self._place_async(slot_idx, req, small, first, n_valid, row,
+                                          len(prepared[2]), prepared[2])
+                else:
+                    first_h, n_valid_h = np.asarray(first), np.asarray(n_valid)
+                    for row, (slot_idx, req, prepared) in enumerate(items):
+                        self._place(slot_idx, req, small, first, n_valid, row,
+                                    int(first_h[row]), int(n_valid_h[row]), prepared[2])
         else:
             for slot_idx, req, prepared in admits:
                 try:
@@ -949,8 +1126,20 @@ class ContinuousBatchingEngine:
                         "token ids as a 4th element (the draft corpus)"
                     )
                 self.stats.prefills += 1
-                self._place(slot_idx, req, small, first, n_valid, 0,
-                            int(first[0]), int(n_valid[0]), lookup)
+                if (
+                    self._async_admission
+                    and self._prepared_len is not None
+                    and prepared is not None
+                ):
+                    # custom per-request prefills pipeline too when the
+                    # frontend exposes a host-side length bound (for_vidlm
+                    # does); otherwise placement blocks on the readback so
+                    # the post-prefill budget backstop can run
+                    self._place_async(slot_idx, req, small, first, n_valid, 0,
+                                      self._prepared_len(req, prepared), lookup)
+                else:
+                    self._place(slot_idx, req, small, first, n_valid, 0,
+                                int(first[0]), int(n_valid[0]), lookup)
 
     def _place(
         self,
@@ -983,6 +1172,14 @@ class ContinuousBatchingEngine:
             self._cache, self._last_tok,
             small, jnp.int32(row), jnp.int32(slot_idx), n_valid[row], first[row],
         )
+        if self._spec_capable and lookup is not None:
+            # host draft-corpus mirror: estimation while disabled + device
+            # hist rebuild on re-enable both read prompt_ids + emitted
+            lk_host = [int(t) for t in np.asarray(lookup, np.int32).reshape(-1)]
+            slot.prompt_ids = lk_host
+            slot.est_pos = len(lk_host) + 1
+        elif self._spec_capable:
+            slot.prompt_ids, slot.est_pos = None, 0
         if self.spec_gamma:
             hc = self._hist.shape[1]
             hrow = np.full((hc,), self.config.pad_token_id, np.int32)
@@ -995,7 +1192,80 @@ class ContinuousBatchingEngine:
         slot.emitted = [first_i]
         slot.done = False
 
+    def _place_async(
+        self,
+        slot_idx: int,
+        req: Request,
+        small: Tuple,
+        first: Array,
+        n_valid: Array,
+        row: int,
+        n_host: int,
+        lookup: Any,
+    ) -> None:
+        """Non-blocking :meth:`_place`: splice request ``row`` into
+        ``slot_idx`` WITHOUT reading the first sampled token back to the host
+        — the insert and the next decode chunk queue behind the prefill on
+        the device, and the first token resolves at that chunk's sync
+        (``pending_first``). The budget check uses the host-known sequence
+        length ``n_host`` (prompt tokens, + prefix rows on the suffix path),
+        which the engine-owned prep paths compute exactly."""
+        if n_host + req.max_new_tokens > self.max_len:
+            self._fail(req, ValueError(
+                f"prompt ({n_host} tokens) + max_new_tokens ({req.max_new_tokens}) "
+                f"exceeds engine max_len {self.max_len}"
+            ))
+            return
+        slot = self._slots[slot_idx]
+        self._cache, self._last_tok = _insert_into_slot(
+            self._cache, self._last_tok,
+            small, jnp.int32(row), jnp.int32(slot_idx), n_valid[row], first[row],
+        )
+        if self._spec_capable and lookup is not None:
+            lk_host = [int(t) for t in np.asarray(lookup, np.int32).reshape(-1)]
+            slot.prompt_ids = lk_host
+            slot.est_pos = len(lk_host) + 1
+        elif self._spec_capable:
+            slot.prompt_ids, slot.est_pos = None, 0
+        if self.spec_gamma:
+            # device-side hist write: the first token is still on device, so
+            # the draft corpus update joins the dispatch queue instead of
+            # forcing a readback
+            hc = self._hist.shape[1]
+            hrow = np.full((hc,), self.config.pad_token_id, np.int32)
+            lk = np.asarray(lookup, np.int32).reshape(-1)[: hc - 1]
+            hrow[: len(lk)] = lk
+            self._hist = self._hist.at[slot_idx].set(jnp.asarray(hrow))
+            self._hist = self._hist.at[slot_idx, len(lk)].set(first[row])
+            self._hist_len = self._hist_len.at[slot_idx].set(len(lk) + 1)
+        slot.request = req
+        slot.emitted = []
+        slot.pending_first = (first, row)
+        slot.done = False
+
+    def _resolve_pending_firsts(self) -> None:
+        """Read back the first sampled token of every async-placed slot (one
+        host readback per admission event's shared ``first`` array — the
+        values are ready by the time the following chunk has synced). An EOS
+        first token marks the slot done so the chunk's tokens for it are
+        discarded, exactly matching blocking placement's immediate finish."""
+        fetched: Dict[int, np.ndarray] = {}
+        for slot in self._slots:
+            if slot.request is None or slot.pending_first is None:
+                continue
+            arr, row = slot.pending_first
+            host = fetched.get(id(arr))
+            if host is None:
+                host = np.asarray(arr)
+                fetched[id(arr)] = host
+            first_i = int(host[row])
+            slot.pending_first = None
+            slot.emitted = [first_i]
+            if first_i == self.config.eos_token_id:
+                slot.done = True
+
     def _decode_one_chunk(self) -> None:
+        spec_steps0, spec_emitted0 = self.stats.spec_steps, self.stats.spec_emitted
         done_in = jnp.asarray([s.done for s in self._slots])
         if self.spec_gamma:
             wins, emits, self._cache, self._last_tok, _, self._hist, self._hist_len = (
@@ -1026,6 +1296,7 @@ class ContinuousBatchingEngine:
                 [toks[k, b : b + 1] for b in range(self.num_slots)]
                 for k in range(self.steps_per_sync)
             ]
+        self._resolve_pending_firsts()
         self.stats.decode_chunks += 1
         self.stats.decode_steps += self.steps_per_sync
         for slot_idx, slot in enumerate(self._slots):
@@ -1052,33 +1323,136 @@ class ContinuousBatchingEngine:
                         self.stats.spec_emitted += consumed_k
             self.stats.slot_steps_active += active_steps
             self.stats.slot_steps_idle += self.steps_per_sync - active_steps
+            if self._spec_off_by_monitor and not self.spec_gamma and slot.prompt_ids is not None:
+                # zero-device-cost acceptance estimate: simulate the n-gram
+                # drafter over the tokens plain decode just emitted
+                h = slot.prompt_ids + slot.emitted
+                s_, e_ = _sim_spec_steps(
+                    h, max(slot.est_pos, len(slot.prompt_ids) + 1),
+                    self._spec_gamma0, self.spec_ngram, self.config.pad_token_id,
+                )
+                self._est_win_steps += s_
+                self._est_win_emitted += e_
+                slot.est_pos = len(h)
             if slot.done or len(slot.emitted) >= req.max_new_tokens:
                 self._finish(req, slot.emitted, "eos" if slot.done else "budget")
                 slot.request, slot.emitted, slot.done = None, [], True
-        if (
-            self.spec_gamma
-            and not self._spec_warned
-            and self.stats.spec_steps >= self._spec_probe_steps
-            and self.stats.tokens_per_step < self.spec_break_even
-        ):
-            self._spec_warned = True
-            realized = self.stats.tokens_per_step
-            if self.spec_autodisable:
+                slot.prompt_ids, slot.est_pos = None, 0
+        self._spec_monitor(
+            self.stats.spec_steps - spec_steps0, self.stats.spec_emitted - spec_emitted0
+        )
+
+    def _spec_monitor(self, dsteps: int, demitted: int) -> None:
+        """Per-chunk speculation governor (two-way when autodisable=True):
+        trailing-window realized tokens/verify-step decides disable; the
+        host acceptance estimate (accumulated by the slot loop while
+        disabled) decides re-enable. ``dsteps``/``demitted`` are this
+        chunk's verify-step deltas."""
+        if not self._spec_capable:
+            return
+        if not self.spec_autodisable:
+            # advisory-only mode: warn once when the cumulative run is a loss
+            if (
+                self.spec_gamma
+                and not self._spec_warned
+                and self.stats.spec_steps >= self._spec_probe_steps
+                and self.stats.tokens_per_step < self.spec_break_even
+            ):
+                self._spec_warned = True
                 overwatch.warning(
-                    f"speculative decoding realized {realized:.3f} tokens/step over "
-                    f"{self.stats.spec_steps} verify steps — below the "
-                    f"{self.spec_break_even:.2f}x break-even; disabling for the rest "
-                    "of this run (plain decode program compiles on the next chunk)"
-                )
-                self.spec_gamma = 0
-            else:
-                overwatch.warning(
-                    f"speculative decoding realized {realized:.3f} tokens/step over "
-                    f"{self.stats.spec_steps} verify steps — below the "
+                    f"speculative decoding realized {self.stats.tokens_per_step:.3f} "
+                    f"tokens/step over {self.stats.spec_steps} verify steps — below the "
                     f"{self.spec_break_even:.2f}x break-even: this workload's n-gram "
                     "acceptance is too low for gamma to pay; consider "
                     "speculative_gamma=0 or speculative_autodisable=True"
                 )
+            return
+        # two-way monitor: trailing windows, hysteresis on re-enable
+        if self.spec_gamma:
+            self._spec_win_steps += dsteps
+            self._spec_win_emitted += demitted
+            if self._spec_win_steps >= self._spec_probe_steps:
+                realized = self._spec_win_emitted / self._spec_win_steps
+                if realized < self.spec_break_even:
+                    overwatch.warning(
+                        f"speculative decoding realized {realized:.3f} tokens/step "
+                        f"over the trailing {self._spec_win_steps} verify steps — "
+                        f"below the {self.spec_break_even:.2f}x break-even; falling "
+                        "back to plain decode (the monitor re-enables when the "
+                        "trailing acceptance estimate clears break-even)"
+                    )
+                    self.spec_gamma = 0
+                    self._spec_off_by_monitor = True
+                    self.stats.spec_disables += 1
+                    self._est_win_steps = self._est_win_emitted = 0
+                    for s in self._slots:
+                        if s.prompt_ids is not None:
+                            s.est_pos = len(s.prompt_ids) + len(s.emitted)
+                self._spec_win_steps = self._spec_win_emitted = 0
+        elif self._spec_off_by_monitor and self._est_win_steps >= self._spec_probe_steps:
+            self._maybe_reenable_spec()
+
+    def _maybe_reenable_spec(self) -> None:
+        """Re-enable speculation when the trailing-window host estimate of
+        realized tokens/verify-step clears break-even x a hysteresis margin;
+        gamma is picked from the measured per-gamma verify-cost curve
+        (BASELINE.md round-4 chip table) against per-gamma simulated
+        acceptance on the live slots' recent streams — not the CLI value."""
+        est = self._est_win_emitted / self._est_win_steps
+        self._est_win_steps = self._est_win_emitted = 0
+        if est < self.spec_break_even * self._spec_reenable_margin:
+            return
+        best_g, best_speedup = self._spec_gamma0, 0.0
+        for g in (2, 4, 8):
+            steps = emitted = 0
+            for slot in self._slots:
+                if slot.request is None or slot.prompt_ids is None:
+                    continue
+                h = slot.prompt_ids + slot.emitted
+                s_, e_ = _sim_spec_steps(
+                    h, len(slot.prompt_ids) + 1, g, self.spec_ngram,
+                    self.config.pad_token_id,
+                )
+                steps += s_
+                emitted += e_
+            if steps == 0:
+                continue
+            speedup = (emitted / steps) / _spec_cost_ratio(g)
+            if speedup > best_speedup:
+                best_g, best_speedup = g, speedup
+        overwatch.info(
+            f"[*] speculation re-enabled: trailing estimate {est:.3f} tokens/step "
+            f"clears break-even {self.spec_break_even:.2f} x margin "
+            f"{self._spec_reenable_margin:.2f}; gamma={best_g} from the measured "
+            "cost curve"
+        )
+        self._rebuild_device_hist()
+        self.spec_gamma = best_g
+        self._spec_off_by_monitor = False
+        self.stats.spec_reenables += 1
+        self._spec_win_steps = self._spec_win_emitted = 0
+
+    def _rebuild_device_hist(self) -> None:
+        """Write live slots' host histories back into the device draft-corpus
+        buffers (they went stale while speculation was disabled)."""
+        hc = self._hist.shape[1]
+        hmat = np.full((self.num_slots, hc), self.config.pad_token_id, np.int32)
+        hlen = np.zeros((self.num_slots,), np.int32)
+        for idx, slot in enumerate(self._slots):
+            if slot.request is None or slot.prompt_ids is None:
+                continue
+            h = slot.prompt_ids + slot.emitted
+            if len(h) > hc:
+                h = h[-hc:]  # recency window: only recent tokens drive drafting
+            hmat[idx, : len(h)] = h
+            hlen[idx] = len(h)
+        hist, hist_len = jnp.asarray(hmat), jnp.asarray(hlen)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self._mesh, P())
+            hist, hist_len = jax.device_put(hist, repl), jax.device_put(hist_len, repl)
+        self._hist, self._hist_len = hist, hist_len
 
     def _finish(self, req: Request, emitted: List[int], reason: str) -> None:
         out = np.full((req.max_new_tokens,), self.config.pad_token_id, np.int32)

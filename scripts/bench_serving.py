@@ -28,9 +28,7 @@ import json
 import os
 import sys
 import time
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from merv_tpu.util.cache import enable_compile_cache
 
@@ -144,17 +142,25 @@ def _phase(phase: str) -> dict:
             churn.append(Request(f"h{i}", input_ids=ids, max_new_tokens=budget))
         tot = sum(r.max_new_tokens for r in churn)
 
-        def run_churn(batched: bool, fused: bool = False):
+        def run_churn(batched: bool, fused: bool = False, async_adm: bool = True):
             eng = ContinuousBatchingEngine(
                 decoder, params, slots=slots, max_len=max_len,
                 steps_per_sync=steps_per_sync, config=gcfg, length_bucket=16,
                 batch_admissions=batched, fuse_admission_buckets=fused,
+                async_admission=async_adm,
             )
             t0 = time.perf_counter()
             eng.run(list(churn))
             return time.perf_counter() - t0, eng.stats
 
-        modes = [("fused", (True, True)), ("batched", (True, False)), ("per_request", (False, False))]
+        # async (pipelined) admission is the round-5 lever: the fused/blocking
+        # A/B isolates it on the identical program set
+        modes = [
+            ("fused", (True, True)),
+            ("fused_blocking", (True, True, False)),
+            ("batched", (True, False)),
+            ("per_request", (False, False)),
+        ]
         for _, m in modes:
             run_churn(*m)  # compile every program set
         for key, m in modes:

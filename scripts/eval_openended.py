@@ -10,10 +10,8 @@ Scoring happens downstream in ``eval_gpt_batch.py`` (LLM judge).
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import glob
 import json
@@ -63,6 +61,9 @@ class EvalConfig:
     speculative: int = 0                            # prompt-lookup speculative decoding: draft length gamma
     #                                               # (batch_size 1 only; lossless — greedy: same tokens, sampling:
     #                                               # same distribution; fewer HBM-bound decode steps; SERVING.md)
+    speculative_autodisable: bool = True            # (engine only) two-way monitor: fall back to plain decode
+    #                                               # below break-even, re-enable when the trailing acceptance
+    #                                               # estimate recovers (gamma re-picked from the measured curve)
     use_engine: bool = False                        # continuous-batching engine serving: per-slot retirement
     #                                               # (short answers free their slot; ~2.5x over group-sync decode)
     #                                               # + shared-video prefix caching (towers + [BOS|visual] prefill
@@ -326,6 +327,7 @@ def _engine_eval(
             vidlm, params, slots=cfg.engine_slots,
             max_len=vidlm.llm_backbone.llm_max_length, steps_per_sync=8,
             config=gcfg, length_bucket=64, speculative_gamma=cfg.speculative,
+            speculative_autodisable=cfg.speculative_autodisable,
             mesh=serve_mesh, result_callback=on_result,
         )
 

@@ -20,13 +20,11 @@ Usage:
 from __future__ import annotations
 
 import json
-import sys
 import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Union
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from merv_tpu.util.cache import enable_compile_cache
 
@@ -61,7 +59,9 @@ class ServeConfig:
     int8_kv: bool = False                # int8 KV cache
     speculative: int = 0                 # batched prompt-lookup speculation: draft length gamma
     speculative_ngram: int = 2
-    speculative_autodisable: bool = False  # fall back to plain decode below break-even
+    speculative_autodisable: bool = True  # two-way monitor: plain decode below break-even,
+    #                                     # re-enable (gamma from the measured cost curve)
+    #                                     # when the trailing acceptance estimate recovers
     share_video_prefix: bool = True      # one tower+prefix prefill per distinct video
     prefix_budget: int = 4               # max simultaneously registered prefixes (HBM)
     resume: bool = True                  # skip request_ids already in --output

@@ -70,28 +70,99 @@ def test_engine_matches_generate_greedy(decoder_and_params):
 
 
 def test_engine_program_count_contract(decoder_and_params):
-    """One decode program total; prefill programs bounded by
-    buckets x (1 + log2(slots)) — batched admission pads each same-bucket
-    group to a power-of-two batch so program counts stay bounded regardless
-    of request count (compiles are minutes on hardware)."""
+    """One decode program total; prefill programs bounded regardless of
+    request count (compiles are minutes on hardware). Under the default
+    gated cross-bucket fusion, every admission event whose buckets pass the
+    gate shares ONE fused bucket — so the prefill program count is bounded
+    by (1 + log2(slots)) pow2 batch sizes at that single bucket. With
+    fusion off, the bound is buckets x (1 + log2(slots))."""
     from merv_tpu.serving import engine as engine_mod
 
     dec, params = decoder_and_params
     gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=1, pad_token_id=0)
     # two distinct buckets: lens 2,3 -> 8; lens 9,12 -> 16
     prompts = _prompts([2, 9, 3, 12, 2, 11])
+    reqs = lambda: [  # noqa: E731
+        Request(f"r{i}", input_ids=p, max_new_tokens=4) for i, p in enumerate(prompts)
+    ]
 
+    # default: fused admission. 16 <= fuse_max_bucket and 16 <= 4 x 8, so the
+    # 8/16 buckets fuse — every prefill program runs at bucket 16.
     decode_cache0 = engine_mod._decode_chunk._cache_size()
     eng = ContinuousBatchingEngine(
         dec, params, slots=3, max_len=32, steps_per_sync=2, config=gcfg, length_bucket=8
     )
     prefill_cache0 = eng._jit_prefill._cache_size()
-    eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=4) for i, p in enumerate(prompts)])
-    assert sorted(eng.stats.prefill_buckets) == [8, 16]
-    # 2 buckets x batch sizes {1, 2, 4}: at most 6 programs, and never more
-    # than one per (bucket, pow2-batch) pair
-    assert eng._jit_prefill._cache_size() - prefill_cache0 <= 6
+    eng.run(reqs())
+    # post-fusion programs only ever saw the fused bucket...
+    assert eng.stats.prefill_buckets == [16]
+    # ...while telemetry still records the true pre-fusion distribution
+    assert sorted(set(eng.stats.admit_buckets)) == [8, 16]
+    assert len(eng.stats.admit_buckets) == len(prompts)
+    # one fused bucket x pow2 batch sizes {1, 2, 4}: at most 3 programs
+    assert eng._jit_prefill._cache_size() - prefill_cache0 <= 3
     assert engine_mod._decode_chunk._cache_size() - decode_cache0 <= 1
+
+    # fusion off: one program per (bucket, pow2-batch) pair — 2 buckets x
+    # batch sizes {1, 2, 4}: at most 6 programs; both buckets materialize.
+    eng2 = ContinuousBatchingEngine(
+        dec, params, slots=3, max_len=32, steps_per_sync=2, config=gcfg,
+        length_bucket=8, fuse_admission_buckets=False,
+    )
+    prefill_cache0 = eng2._jit_prefill._cache_size()
+    eng2.run(reqs())
+    assert sorted(eng2.stats.prefill_buckets) == [8, 16]
+    assert eng2._jit_prefill._cache_size() - prefill_cache0 <= 6
+    assert engine_mod._decode_chunk._cache_size() - decode_cache0 <= 1
+
+
+def test_engine_fusion_gate_bounds_pad_spread(decoder_and_params):
+    """A near-max-length prompt must NOT drag short prompts into its
+    compute-bound prefill: with bucket spread past ``fuse_max_ratio`` the
+    gate splits the admission event into separate fused groups (and past
+    ``fuse_max_bucket`` long buckets never absorb anything). Token parity
+    with generate() is preserved either way."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=1, pad_token_id=0)
+    # buckets: 2,3 -> 8; 50 -> 56 (with length_bucket=8). 56 > 4x8, so the
+    # short group stays at 8 and the long prompt prefills at its own bucket.
+    prompts = _prompts([2, 3, 50])
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=3, max_len=64, steps_per_sync=2, config=gcfg, length_bucket=8
+    )
+    results = eng.run(
+        [Request(f"r{i}", input_ids=p, max_new_tokens=4) for i, p in enumerate(prompts)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
+    assert sorted(eng.stats.prefill_buckets) == [8, 56]
+    assert sorted(set(eng.stats.admit_buckets)) == [8, 56]
+
+    # same workload with a permissive ratio: everything fuses to 56
+    eng2 = ContinuousBatchingEngine(
+        dec, params, slots=3, max_len=64, steps_per_sync=2, config=gcfg,
+        length_bucket=8, fuse_max_ratio=8,
+    )
+    results2 = eng2.run(
+        [Request(f"r{i}", input_ids=p, max_new_tokens=4) for i, p in enumerate(prompts)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results2[f"r{i}"].token_ids, ref), i
+    assert eng2.stats.prefill_buckets == [56]
+
+    # fuse_max_bucket gate: cap below 56 and even a permissive ratio cannot
+    # pull the short buckets up to a compute-bound length
+    eng3 = ContinuousBatchingEngine(
+        dec, params, slots=3, max_len=64, steps_per_sync=2, config=gcfg,
+        length_bucket=8, fuse_max_ratio=8, fuse_max_bucket=32,
+    )
+    results3 = eng3.run(
+        [Request(f"r{i}", input_ids=p, max_new_tokens=4) for i, p in enumerate(prompts)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results3[f"r{i}"].token_ids, ref), i
+    assert sorted(eng3.stats.prefill_buckets) == [8, 56]
 
 
 def test_engine_slot_reuse_no_stale_leak(decoder_and_params):
@@ -263,6 +334,54 @@ def test_engine_batch_admissions_off(decoder_and_params):
     assert 0.0 < eng.stats.prefill_stall_share < 1.0
 
 
+def test_engine_async_admission_parity(decoder_and_params):
+    """async_admission=True (default) pipelines prefill -> insert -> next
+    decode chunk without a blocking first-token readback; token streams,
+    finish reasons, and prefill counts must be IDENTICAL to blocking
+    placement across the tricky cases: max_new_tokens=1 (immediate budget
+    finish resolves at the next chunk sync), slot churn through reuse, and
+    speculative mode (the draft-corpus hist update stays device-side)."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    prompts = _prompts([5, 3, 9, 2, 7, 6], seed=77)
+    budgets = [8, 1, 5, 1, 8, 3]
+
+    def run(async_adm: bool, spec: int = 0):
+        eng = ContinuousBatchingEngine(
+            dec, params, slots=2, max_len=48, steps_per_sync=3, config=gcfg,
+            length_bucket=4, async_admission=async_adm, speculative_gamma=spec,
+        )
+        res = eng.run(
+            [Request(f"r{i}", input_ids=p, max_new_tokens=b)
+             for i, (p, b) in enumerate(zip(prompts, budgets))]
+        )
+        return res, eng.stats
+
+    res_async, st_async = run(True)
+    res_sync, st_sync = run(False)
+    for i in range(len(prompts)):
+        a, s = res_async[f"r{i}"], res_sync[f"r{i}"]
+        assert np.array_equal(a.token_ids, s.token_ids), i
+        assert a.finish_reason == s.finish_reason, i
+    assert st_async.prefills == st_sync.prefills
+
+    # speculative mode: async placement writes the first token into the
+    # device draft corpus without a readback; streams stay identical
+    res_sa, _ = run(True, spec=2)
+    res_ss, _ = run(False, spec=2)
+    for i in range(len(prompts)):
+        assert np.array_equal(res_sa[f"r{i}"].token_ids, res_ss[f"r{i}"].token_ids), i
+
+    # budget guard still fires host-side BEFORE the device prefill
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=1, max_len=16, config=gcfg, length_bucket=4,
+        async_admission=True,
+    )
+    results = eng.run([Request("big", input_ids=_prompts([12])[0], max_new_tokens=12)])
+    assert results["big"].finish_reason == "error"
+    assert eng.stats.prefills == 0
+
+
 def test_engine_cross_bucket_admission_fusion(decoder_and_params):
     """Pending admissions in DIFFERENT length buckets fuse into one prefill
     program (every row padded to the largest pending bucket) and outputs stay
@@ -358,8 +477,107 @@ def test_engine_speculative_autodisable(decoder_and_params):
     results = eng.run([Request(f"r{i}", input_ids=p, max_new_tokens=24) for i, p in enumerate(prompts)])
     for i, ref in enumerate(refs):
         assert np.array_equal(results[f"r{i}"].token_ids, ref), i
-    if eng.stats.tokens_per_step < eng.spec_break_even:
-        assert eng.spec_gamma == 0, "engine should have disabled speculation"
+    # the windowed monitor either disabled at least once, or every window
+    # genuinely cleared break-even (then spec legitimately stayed on)
+    assert eng.stats.spec_disables >= 1 or eng.stats.tokens_per_step >= eng.spec_break_even
+
+
+def test_sim_spec_estimator_ends_of_spectrum():
+    """The host acceptance simulator (exact mirror of greedy speculation over
+    an already-emitted stream): a perfectly periodic stream realizes ~gamma+1
+    tokens/step; a stream with no repeated n-grams realizes 1.0."""
+    from merv_tpu.serving.engine import _sim_spec_steps
+
+    gamma, ngram, pad = 4, 2, 0
+    periodic = [3, 7, 5, 9] * 16
+    steps, emitted = _sim_spec_steps(periodic, 8, gamma, ngram, pad)
+    assert emitted / steps > 3.0, (steps, emitted)
+    novel = list(range(10, 74))  # strictly increasing: no previous occurrence
+    steps, emitted = _sim_spec_steps(novel, 8, gamma, ngram, pad)
+    assert emitted == steps  # 1.0 tokens/step: every draft rejects
+
+
+def test_spec_monitor_two_way_transitions(decoder_and_params):
+    """Drifting workload state machine, driven directly: a below-break-even
+    window disables speculation; while disabled, a recovered trailing
+    acceptance estimate re-enables it with gamma picked from the measured
+    cost curve, and the device draft corpus is rebuilt from host history."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=8, eos_token_id=1, pad_token_id=0)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=64, steps_per_sync=2, config=gcfg,
+        length_bucket=4, speculative_gamma=2,
+    )
+    eng._spec_probe_steps = 4
+
+    # cold phase: 4 verify steps emitting 4 tokens (1.0/step, below 1.2)
+    eng._spec_monitor(4, 4)
+    assert eng.spec_gamma == 0 and eng._spec_off_by_monitor
+    assert eng.stats.spec_disables == 1
+
+    # still cold: estimator window below break-even x margin -> stays off
+    eng._est_win_steps, eng._est_win_emitted = 4, 4
+    eng._spec_monitor(0, 0)
+    assert eng.spec_gamma == 0 and eng._spec_off_by_monitor
+
+    # repetitive phase: plant a live slot with a PERIOD-4 history and a hot
+    # estimator window -> re-enable, gamma from the cost curve. A period-P
+    # stream can never draft more than P real tokens per step (the drafter's
+    # most recent suffix occurrence sits one period before the end), so
+    # acceptance caps at P+1 for every gamma >= P and the argmax picks the
+    # CHEAPEST gamma that saturates: gamma=4 here (5/1.309 beats 5/1.367).
+    slot = eng._slots[0]
+    slot.request = Request("r0", input_ids=np.arange(4, dtype=np.int32), max_new_tokens=8)
+    slot.done = False
+    slot.prompt_ids = [3, 7, 5, 9] * 3
+    slot.emitted = [3, 7, 5, 9] * 8
+    eng._est_win_steps, eng._est_win_emitted = 4, 16  # 4.0/step est
+    eng._spec_monitor(0, 0)
+    assert eng.spec_gamma == 4, eng.spec_gamma
+    assert not eng._spec_off_by_monitor
+    assert eng.stats.spec_reenables == 1
+    # device hist rebuilt from host history
+    h = slot.prompt_ids + slot.emitted
+    assert int(eng._hist_len[0]) == len(h)
+    assert np.array_equal(np.asarray(eng._hist[0][: len(h)]), np.asarray(h))
+    assert int(eng._hist_len[1]) == 0  # empty slot stayed empty
+
+    # drift cold again -> second disable
+    eng._spec_monitor(4, 4)
+    assert eng.spec_gamma == 0 and eng.stats.spec_disables == 2
+
+    # period-12 history: gamma=8 now drafts 8 real tokens per step
+    # (9/1.367 = 6.58 beats gamma=4's 5/1.309 = 3.82) -> the argmax scales up
+    seq = [3, 7, 5, 9, 11, 13, 17, 19, 23, 29, 31, 37]
+    slot.prompt_ids = seq * 2
+    slot.emitted = seq * 6
+    eng._est_win_steps, eng._est_win_emitted = 4, 16
+    eng._spec_monitor(0, 0)
+    assert eng.spec_gamma == 8, eng.spec_gamma
+    assert eng.stats.spec_reenables == 2
+
+
+def test_spec_two_way_token_identity_under_drift(decoder_and_params):
+    """Integration: tiny probe window forces the monitor to exercise real
+    transitions on a mixed workload; emitted tokens must equal plain
+    generate() for every request regardless of how often the engine
+    switched programs (greedy speculation is exact-match)."""
+    dec, params = decoder_and_params
+    gcfg = GenerationConfig(max_new_tokens=20, eos_token_id=1, pad_token_id=0)
+    # mix: novel prompts (cold) + a long repetitive prompt (hot n-grams)
+    prompts = _prompts([5, 9], seed=77) + [np.asarray([3, 7, 5, 9] * 5, np.int32)]
+    refs = _reference_rows(dec, params, prompts, gcfg)
+    eng = ContinuousBatchingEngine(
+        dec, params, slots=2, max_len=64, steps_per_sync=2, config=gcfg,
+        length_bucket=4, speculative_gamma=2,
+    )
+    eng._spec_probe_steps = 4  # force frequent windows
+    eng._spec_reenable_margin = 1.0
+    results = eng.run(
+        [Request(f"r{i}", input_ids=p, max_new_tokens=20) for i, p in enumerate(prompts)]
+    )
+    for i, ref in enumerate(refs):
+        assert np.array_equal(results[f"r{i}"].token_ids, ref), i
 
 
 def test_engine_sampling_runs(decoder_and_params):
