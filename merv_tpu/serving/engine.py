@@ -114,6 +114,10 @@ class EngineStats:
     spec_reenables: int = 0  # monitor re-enabled (trailing estimate recovered)
     prefetch_hits: int = 0  # admissions whose host prep overlapped a decode chunk
     errors: int = 0  # requests that failed (corrupt media / over-budget / prep error)
+    # per-request time-to-first-token: submit() -> the first sampled token
+    # becoming host-visible (at placement when blocking, at the next chunk
+    # sync under async admission — the honest moment a caller could see it)
+    ttft_s: List[float] = field(default_factory=list)
     batched_admissions: int = 0  # admissions that shared a prefill program with others
     prefix_admissions: int = 0  # admissions served suffix-only off a shared prefix
     admit_s: float = 0.0  # host wall time inside _admit (prefill stall: decode waits)
@@ -588,6 +592,7 @@ class ContinuousBatchingEngine:
             (lambda req, prepared: len(prepared[2])) if prefill_fn is None else None
         )
         self._prefetched: Optional[Tuple[str, Any, Dict[str, Any]]] = None
+        self._submit_t: Dict[str, float] = {}  # request_id -> submit() wall time (TTFT)
         # shared-prefix registry: prefix_id -> (B=1 KVCache of exactly P rows,
         # P, bos ids baked into the cache). Requests naming a prefix_id prefill
         # suffix-only (_prefix_suffix_prefill) — the engine's prefix-caching
@@ -686,7 +691,15 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
 
     # ------------------------------------------------------------------ api
+    @property
+    def ttft_p50(self) -> float:
+        """Median time-to-first-token over finished requests (seconds)."""
+        if not self.stats.ttft_s:
+            return 0.0
+        return float(np.median(self.stats.ttft_s))
+
     def submit(self, request: Request) -> None:
+        self._submit_t[request.request_id] = time.perf_counter()
         self._queue.append(request)
 
     def register_prefix(self, prefix_id: str, prefix: Any) -> None:
@@ -962,6 +975,7 @@ class ContinuousBatchingEngine:
         overwatch.error(
             f"request {req.request_id} failed: {type(exc).__name__}: {exc}"
         )
+        self._submit_t.pop(req.request_id, None)
         self.stats.errors += 1
         res = RequestResult(
             req.request_id,
@@ -1164,6 +1178,9 @@ class ContinuousBatchingEngine:
                 f"exceeds engine max_len {self.max_len}"
             ))
             return
+        t0 = self._submit_t.pop(req.request_id, None)
+        if t0 is not None:
+            self.stats.ttft_s.append(time.perf_counter() - t0)
         if req.max_new_tokens == 1 or first_i == self.config.eos_token_id:
             self._finish(req, [first_i], "eos" if first_i == self.config.eos_token_id else "budget")
             return
@@ -1261,6 +1278,9 @@ class ContinuousBatchingEngine:
             first_i = int(host[row])
             slot.pending_first = None
             slot.emitted = [first_i]
+            t0 = self._submit_t.pop(slot.request.request_id, None)
+            if t0 is not None:
+                self.stats.ttft_s.append(time.perf_counter() - t0)
             if first_i == self.config.eos_token_id:
                 slot.done = True
 

@@ -22,7 +22,7 @@ from merv_tpu.util.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 
-from bench import build_model, make_bench_params  # noqa: E402
+from merv_tpu.benchkit import build_model, make_bench_params  # noqa: E402
 
 
 def difftime(fn, *args, iters=8, reps=3):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-from bench import build_model  # noqa: E402
+from merv_tpu.benchkit import build_model  # noqa: E402
 from merv_tpu.models.backbones.llm.transformer import KVCache  # noqa: E402
 from merv_tpu.models.generation import GenerationConfig, _decode_scan  # noqa: E402
 
@@ -35,7 +35,7 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_DECODE_STEPS", "128"))
     model = build_model(layers, tiny=jax.devices()[0].platform == "cpu")
 
-    from bench import make_bench_params
+    from merv_tpu.benchkit import make_bench_params
 
     int8 = os.environ.get("BENCH_INT8", "0") == "1"
     int8_kv = os.environ.get("BENCH_INT8_KV", "0") == "1"

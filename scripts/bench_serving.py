@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import build_model, make_bench_params  # noqa: E402
+from merv_tpu.benchkit import build_model, make_bench_params  # noqa: E402
 from merv_tpu.models.generation import GenerationConfig, generate  # noqa: E402
 from merv_tpu.serving.engine import ContinuousBatchingEngine, Request  # noqa: E402
 
@@ -406,8 +406,12 @@ def _phase(phase: str) -> dict:
     elif phase == "engine":
         run_engine(0)  # compile
         engine_s, stats = min((run_engine(0) for _ in range(2)), key=lambda x: x[0])
+        ttft = sorted(stats.ttft_s)
         out.update(engine_s=engine_s, engine_decode_steps=stats.decode_steps,
-                   engine_util=round(stats.slot_utilization, 3))
+                   engine_util=round(stats.slot_utilization, 3),
+                   engine_tok_s=round(total_tokens / engine_s, 2),
+                   ttft_p50_ms=round(1e3 * ttft[len(ttft) // 2], 1) if ttft else None,
+                   ttft_p90_ms=round(1e3 * ttft[int(len(ttft) * 0.9)], 1) if ttft else None)
     elif phase == "spec":
         run_engine(gamma)  # compile
         spec_s, spec_stats = min((run_engine(gamma) for _ in range(2)), key=lambda x: x[0])

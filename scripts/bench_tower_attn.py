@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import build_model, make_bench_params  # noqa: E402
+from merv_tpu.benchkit import build_model, make_bench_params  # noqa: E402
 
 # towers of the merv set worth A/B-ing (vivit/siglip dispatch elsewhere):
 TOWERS = {0: "languagebind", 1: "dinov2"}

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-from bench import build_model  # noqa: E402
+from merv_tpu.benchkit import build_model  # noqa: E402
 from merv_tpu.models.vidlms.base_vidlm import IGNORE_INDEX  # noqa: E402
 from merv_tpu.parallel import MeshConfig, batch_sharding, build_mesh  # noqa: E402
 from merv_tpu.training.optimizers import build_optimizer, build_schedule  # noqa: E402

@@ -1,0 +1,114 @@
+"""VidLM-level prefix-caching A/B: the many-questions-per-video serving claim
+measured end to end through the PRODUCT surface (``scripts/eval_openended.py``)
+on the full-size 4-tower merv-full model.
+
+Workload: ``eval_data/dummy_openended_scaled`` — 4 videos x 8 questions (the
+shape of the reference's eval sets, which ask several questions per video).
+Three modes, each in its own subprocess (fresh HBM) and run twice (the first
+warms the persistent compile cache; the SECOND run's serving wall is the
+steady-state number):
+
+- ``engine_shared``   — ``--use_engine --share_video_prefix``: towers + the
+  [BOS | visual] prefill run ONCE per video (``register_prefix_video``);
+  every question admits suffix-only against the shared KV.
+- ``engine_unshared`` — ``--use_engine --share_video_prefix false``: the
+  engine still retires slots per-answer, but every question pays the full
+  tower + prefill pipeline.
+- ``group``           — ``--batch_size 4`` group-synchronous
+  ``generate_batch``: the reference-shaped serving loop (reference
+  ``merv/models/vidlms/merv.py:779-830`` recomputes the full video prefill
+  per question; our group path batches questions but shares nothing).
+
+Prints ONE JSON line with questions/sec per mode and the shared/unshared +
+shared/group ratios — the VidLM-level number that retires the 1.71x LLM-level
+proxy (BASELINE.md "Engine prefix caching").
+
+Requires ``runs/merv-full-randinit`` (``python scripts/make_randinit_run.py``)
+— random weights: identical compute, no pretrained numerics needed for a
+throughput A/B.
+
+ENV: BENCH_VP_MAX_NEW (default 32) decode budget per question;
+BENCH_VP_SLOTS (default 4) engine slots / group batch size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+RUN = "merv-full-randinit"
+DATASET = "dummy_openended_scaled"
+
+
+def _run_once(mode: str, max_new: int, slots: int) -> dict:
+    """One eval_openended subprocess; returns parsed serving telemetry."""
+    result_dir = ROOT / "eval_result" / RUN
+    if result_dir.exists():
+        # stale *_done.jsonl satisfy the resume filter and the run would
+        # "complete" without touching the chip
+        shutil.rmtree(result_dir)
+    args = [
+        sys.executable, str(ROOT / "scripts" / "eval_openended.py"),
+        "--model_path", RUN, "--eval_dataset", DATASET,
+        "--allow_random_weights", "true", "--quantize_llm", "true",
+        "--max_new_tokens", str(max_new), "--skip_flops", "true",
+    ]
+    if mode == "engine_shared":
+        args += ["--use_engine", "true", "--share_video_prefix", "true",
+                 "--engine_slots", str(slots), "--prefix_budget", "4"]
+    elif mode == "engine_unshared":
+        args += ["--use_engine", "true", "--share_video_prefix", "false",
+                 "--engine_slots", str(slots)]
+    elif mode == "group":
+        args += ["--batch_size", str(slots)]
+    else:
+        raise ValueError(mode)
+    t0 = time.perf_counter()
+    proc = subprocess.run(args, capture_output=True, text=True, cwd=ROOT)
+    wall_total = time.perf_counter() - t0
+    log = proc.stdout + proc.stderr
+    if proc.returncode != 0:
+        sys.stderr.write(log[-4000:])
+        raise SystemExit(f"mode {mode} failed (rc={proc.returncode})")
+    m = re.search(r"Serving wall: ([\d.]+)s for (\d+) questions = ([\d.]+) questions/sec", log)
+    if m is None:
+        sys.stderr.write(log[-4000:])
+        raise SystemExit(f"mode {mode}: no serving-wall line in output")
+    out = {
+        "serve_s": float(m.group(1)),
+        "questions": int(m.group(2)),
+        "questions_per_sec": float(m.group(3)),
+        "proc_s": round(wall_total, 2),
+    }
+    pm = re.search(r"(\d+) prefills \((\d+) suffix-only\)", log)
+    if pm:
+        out["prefills"] = int(pm.group(1))
+        out["prefix_admissions"] = int(pm.group(2))
+    return out
+
+
+def main() -> None:
+    max_new = int(os.environ.get("BENCH_VP_MAX_NEW", "32"))
+    slots = int(os.environ.get("BENCH_VP_SLOTS", "4"))
+    if not (ROOT / "runs" / RUN).exists():
+        subprocess.run([sys.executable, str(ROOT / "scripts" / "make_randinit_run.py")],
+                       check=True, cwd=ROOT)
+    out = {"dataset": DATASET, "max_new_tokens": max_new, "slots": slots}
+    for mode in ("engine_shared", "engine_unshared", "group"):
+        _run_once(mode, max_new, slots)  # cold: warms the compile cache
+        out[mode] = _run_once(mode, max_new, slots)  # warm: the number
+    qs = {m: out[m]["questions_per_sec"] for m in ("engine_shared", "engine_unshared", "group")}
+    out["shared_vs_unshared"] = round(qs["engine_shared"] / qs["engine_unshared"], 3)
+    out["shared_vs_group"] = round(qs["engine_shared"] / qs["group"], 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@ from pathlib import Path
 import glob
 import json
 import os
+import time
 
 from merv_tpu.util.cache import enable_compile_cache
 
@@ -207,6 +208,7 @@ def evaluate(cfg: EvalConfig) -> None:
         else ((g, None) for g in groups)
     )
 
+    serve_t0 = time.perf_counter()
     with open(temp_output_path, "w") as f:
         for line in done_lines:  # re-emit carried-over results
             f.write(line if line.endswith("\n") else line + "\n")
@@ -249,6 +251,12 @@ def evaluate(cfg: EvalConfig) -> None:
             # (the old 100-boundary heuristic never fired at batch_size 1,
             # buffering the whole run against the resume machinery)
             f.flush()
+    wall = time.perf_counter() - serve_t0
+    if questions:
+        overwatch.info(
+            f"Serving wall: {wall:.2f}s for {len(questions)} questions = "
+            f"{len(questions) / wall:.3f} questions/sec"
+        )
     os.rename(temp_output_path, done_output_path)
     _merge_chunks(cfg, result_dir, tag, all_questions_id, merged_path)
 
@@ -304,6 +312,7 @@ def _engine_eval(
     )
     by_q = {str(q["question_id"]): q for q in questions}
 
+    serve_t0 = time.perf_counter()
     with open(temp_output_path, "w") as f:
         for line in done_lines:  # re-emit carried-over results
             f.write(line if line.endswith("\n") else line + "\n")
@@ -394,12 +403,20 @@ def _engine_eval(
         run_wave()
 
     s = engine.stats
+    wall = time.perf_counter() - serve_t0
+    served = len(questions) - s.errors
     overwatch.info(
         f"Engine served chunk: slot utilization {s.slot_utilization:.1%}, "
         f"{s.prefills} prefills ({s.prefix_admissions} suffix-only), "
         f"{s.decode_chunks} chunks"
         + (f", {s.errors} failed" if s.errors else "")
         + (f", {s.tokens_per_step:.2f} tokens/verify-step" if cfg.speculative else "")
+    )
+    # serving wall incl. first-program compiles — warm-cache reruns measure
+    # steady state (scripts/bench_vidlm_prefix.py parses this line)
+    overwatch.info(
+        f"Serving wall: {wall:.2f}s for {served} questions = "
+        f"{served / wall:.3f} questions/sec"
     )
 
 

@@ -84,6 +84,35 @@ def main(root: Path = Path("eval_data")) -> None:
         )
     (oe / "test_q.json").write_text(json.dumps(questions, indent=1))
     (oe / "test_a.json").write_text(json.dumps(answers, indent=1))
+
+    # --- dummy_openended_scaled: the many-questions-per-video serving shape
+    # (reference eval sets ask several questions per video) — 4 videos x 8
+    # questions, sized for the VidLM-level prefix-caching A/B
+    # (scripts/bench_vidlm_prefix.py)
+    oes = root / "dummy_openended_scaled"
+    (oes / "videos").mkdir(parents=True, exist_ok=True)
+    questions, answers = [], []
+    qtexts = [
+        "Describe the dominant color of the video.",
+        "What color fills most of the frame?",
+        "Is the scene mostly warm or cool in tone?",
+        "Summarize what this video shows.",
+        "Does the color change over time?",
+        "Name the primary hue visible here.",
+        "How would you caption this clip?",
+        "What single word best describes the footage?",
+    ]
+    for i, color in enumerate(["red", "green", "blue", "red"]):
+        vid = f"scene_{i}"
+        make_video(oes / "videos" / f"{vid}.gif", color)
+        for j, qt in enumerate(qtexts):
+            qid = f"dummy_oes_{i}_{j}"
+            questions.append({"video_name": vid, "question_id": qid, "question": qt})
+            answers.append(
+                {"video_name": vid, "question_id": qid, "answer": f"The video is mostly {color}."}
+            )
+    (oes / "test_q.json").write_text(json.dumps(questions, indent=1))
+    (oes / "test_a.json").write_text(json.dumps(answers, indent=1))
     print(f"Wrote dummy eval fixtures under {root}/")
 
 
