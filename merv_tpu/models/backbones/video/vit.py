@@ -400,7 +400,36 @@ class VisionTransformer:
             xt = xt + yt
             x = xt.reshape(B, N, frames, D).transpose(0, 2, 1, 3).reshape(BT, N, D)
 
-        x = x + self._ls(lp, "ls1", self._mha(lp["attn"], ln(lp["norm1"], x)))
+        # Whole-layer fused attention block (round-5 BASELINE.md experiment):
+        # LN1 + qkv + attention + o-proj + LayerScale + residual as ONE Pallas
+        # program — the exact form round-4 named as the only remaining closer
+        # for the pinned ~12 ms/tower-above-GEMM-floor. Opt-in for the A/B
+        # (scripts/bench_tower_attn.py --impl fused_block).
+        if (
+            os.environ.get("MERV_TPU_FUSED_VIT_BLOCK", "0") == "1"
+            and can_use_pallas()
+            and c.hidden_size % 128 == 0
+            and "bias" in lp["attn"]["q_proj"]
+        ):
+            from merv_tpu.ops.fused_vit_block import fused_vit_attn_block
+
+            ap = lp["attn"]
+            D = c.hidden_size
+            gamma = (
+                lp["ls1"]["gamma"] if c.use_layerscale
+                else jnp.ones((D,), c.param_dtype)
+            )
+            x = fused_vit_attn_block(
+                x,
+                lp["norm1"]["scale"], lp["norm1"]["bias"],
+                ap["q_proj"]["kernel"].astype(x.dtype), ap["q_proj"]["bias"],
+                ap["k_proj"]["kernel"].astype(x.dtype), ap["k_proj"]["bias"],
+                ap["v_proj"]["kernel"].astype(x.dtype), ap["v_proj"]["bias"],
+                ap["o_proj"]["kernel"].astype(x.dtype), ap["o_proj"]["bias"],
+                gamma, c.num_heads, c.layer_norm_eps,
+            )
+        else:
+            x = x + self._ls(lp, "ls1", self._mha(lp["attn"], ln(lp["norm1"], x)))
         h = ln(lp["norm2"], x)
         h = Linear(c.hidden_size, c.intermediate_size, param_dtype=c.param_dtype)(lp["mlp"]["fc1"], h)
         h = act(h)

@@ -62,7 +62,12 @@ def difftime(fn, *args, iters=8, reps=3):
 
 def run_one(batch: int) -> dict:
     impl = os.environ.get("TOWER_ATTN_IMPL", "small")
-    if impl != "default":
+    if impl == "fused_block":
+        # round-5: the whole-layer fused kernel (LN + qkv + attention +
+        # o-proj + LayerScale + residual in ONE pallas program,
+        # ops/fused_vit_block.py); spatial attention dispatch untouched
+        os.environ["MERV_TPU_FUSED_VIT_BLOCK"] = "1"
+    elif impl != "default":
         os.environ["MERV_TPU_TOWER_ATTN"] = impl
     model = build_model(2)  # LLM depth irrelevant: towers only
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
