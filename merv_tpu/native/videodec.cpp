@@ -40,6 +40,7 @@ struct Reader {
   const AVStream* stream = nullptr;
   int stream_idx = -1;
   AVFrame* frame = nullptr;
+  AVFrame* last_good = nullptr;  // most recent decoded frame (EOF clamp)
   AVPacket* pkt = nullptr;
   SwsContext* sws = nullptr;
   int sws_w = -1, sws_h = -1, sws_flags = -1;
@@ -52,6 +53,7 @@ struct Reader {
   ~Reader() {
     if (sws) sws_freeContext(sws);
     if (pkt) av_packet_free(&pkt);
+    if (last_good) av_frame_free(&last_good);
     if (frame) av_frame_free(&frame);
     if (codec) avcodec_free_context(&codec);
     if (fmt) avformat_close_input(&fmt);
@@ -75,6 +77,12 @@ int decode_until(Reader* r, int64_t target) {
       int64_t idx = pts_to_index(r, r->frame->best_effort_timestamp);
       if (idx < 0) idx = r->cursor;  // streams without pts: trust the cursor
       r->cursor = idx + 1;
+      // remember every decoded frame: containers whose nb_frames metadata
+      // over-counts the decodable frames (codec delay, truncated tails)
+      // then clamp index requests past the end to the LAST real frame
+      // (decord's sampling semantics) instead of failing the whole batch
+      av_frame_unref(r->last_good);
+      av_frame_ref(r->last_good, r->frame);
       if (idx >= target) return 0;
       av_frame_unref(r->frame);
       continue;
@@ -101,7 +109,11 @@ int decode_until(Reader* r, int64_t target) {
       continue;
     }
     if (ret == AVERROR_EOF) {
-      // target past end: keep the last decoded frame if any
+      // target past end: clamp to the most recent decoded frame if any
+      if (!r->frame->data[0] && r->last_good && r->last_good->data[0]) {
+        av_frame_unref(r->frame);
+        av_frame_move_ref(r->frame, r->last_good);
+      }
       r->error = "eof before target frame";
       return r->frame->data[0] ? 1 : -1;
     }
@@ -123,6 +135,7 @@ int seek_to(Reader* r, int64_t target) {
     }
   }
   avcodec_flush_buffers(r->codec);
+  av_frame_unref(r->last_good);  // pre-seek frames must not serve as EOF clamp
   r->cursor = -1;  // unknown until the next frame's pts tells us
   return 0;
 }
@@ -210,6 +223,7 @@ void* vr_open(const char* path) {
     return nullptr;
   }
   r->frame = av_frame_alloc();
+  r->last_good = av_frame_alloc();
   r->pkt = av_packet_alloc();
 
   AVRational fr = av_guess_frame_rate(r->fmt, const_cast<AVStream*>(r->stream), nullptr);

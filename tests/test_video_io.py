@@ -47,6 +47,31 @@ def test_native_fused_decode_resize():
     r.close()
 
 
+@pytest.mark.skipif(not _native_available(), reason="native toolchain/libav unavailable")
+def test_native_reader_real_mp4_bitstream():
+    """The committed demo asset (assets/video_demo.mp4, a genuine MPEG-4
+    bitstream encoded by merv_tpu/native/videoenc.cpp) decodes through the
+    native reader, and index requests past the last DECODABLE frame clamp
+    to the final real frame (decord sampling semantics) — mp4 nb_frames
+    metadata may over-count by the codec delay, and linspace sampling always
+    asks for num_frames-1."""
+    from merv_tpu.native import videodec
+
+    mp4 = REPO / "assets" / "video_demo.mp4"
+    r = videodec.VideoReader(str(mp4))
+    n = r.num_frames()
+    assert n >= 48
+    frames = r.get_batch([0, n // 2, n - 1])
+    assert frames.shape == (3, 128, 128, 3)
+    # moving-gradient content: frames must actually differ (a stuck reader
+    # returning frame 0 thrice would fail here)
+    assert not np.array_equal(frames[0], frames[1])
+    # and the full linspace load the preprocessing path performs must work
+    vid = load_video(mp4, num_frames=8)
+    assert vid.shape == (8, 128, 128, 3)
+    r.close()
+
+
 def test_load_video_gif_linspace():
     v = load_video(GIF, num_frames=4)
     assert v.shape[0] == 4 and v.shape[-1] == 3 and v.dtype == np.uint8
