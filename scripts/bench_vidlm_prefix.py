@@ -58,16 +58,22 @@ def _run_once(mode: str, max_new: int, slots: int) -> dict:
         sys.executable, str(ROOT / "scripts" / "eval_openended.py"),
         "--model_path", RUN, "--eval_dataset", DATASET,
         "--allow_random_weights", "true", "--quantize_llm", "true",
-        "--max_new_tokens", str(max_new), "--skip_flops", "true",
+        "--int8_kv", "true", "--max_new_tokens", str(max_new),
+        "--skip_flops", "true",
     ]
+    # single-chip HBM budget beside the int8 7B + bf16 towers: engine slot
+    # cache (slots x 2048 int8 rows) + registered video prefixes (~0.26 GiB
+    # each at int8) cap prefix_budget at 2; the group path's measured
+    # single-chip max is batch 2 (bsz 3+ OOMs beside the 4-tower prefill —
+    # verify notes / BASELINE.md), so each mode runs its best feasible config.
     if mode == "engine_shared":
         args += ["--use_engine", "true", "--share_video_prefix", "true",
-                 "--engine_slots", str(slots), "--prefix_budget", "4"]
+                 "--engine_slots", str(slots), "--prefix_budget", "2"]
     elif mode == "engine_unshared":
         args += ["--use_engine", "true", "--share_video_prefix", "false",
                  "--engine_slots", str(slots)]
     elif mode == "group":
-        args += ["--batch_size", str(slots)]
+        args += ["--batch_size", "2"]
     else:
         raise ValueError(mode)
     t0 = time.perf_counter()
@@ -77,21 +83,19 @@ def _run_once(mode: str, max_new: int, slots: int) -> dict:
     if proc.returncode != 0:
         sys.stderr.write(log[-4000:])
         raise SystemExit(f"mode {mode} failed (rc={proc.returncode})")
-    m = re.search(r"Serving wall: ([\d.]+)s for (\d+) questions = ([\d.]+) questions/sec", log)
-    if m is None:
+    # the eval driver prints one machine-readable JSON line on stdout (the
+    # console log line-wraps and cannot be parsed reliably)
+    stats = None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and "serving_wall_s" in line:
+            stats = json.loads(line)
+            break
+    if stats is None:
         sys.stderr.write(log[-4000:])
-        raise SystemExit(f"mode {mode}: no serving-wall line in output")
-    out = {
-        "serve_s": float(m.group(1)),
-        "questions": int(m.group(2)),
-        "questions_per_sec": float(m.group(3)),
-        "proc_s": round(wall_total, 2),
-    }
-    pm = re.search(r"(\d+) prefills \((\d+) suffix-only\)", log)
-    if pm:
-        out["prefills"] = int(pm.group(1))
-        out["prefix_admissions"] = int(pm.group(2))
-    return out
+        raise SystemExit(f"mode {mode}: no serving-wall JSON line in output")
+    stats["proc_s"] = round(wall_total, 2)
+    return stats
 
 
 def main() -> None:

@@ -257,6 +257,10 @@ def evaluate(cfg: EvalConfig) -> None:
             f"Serving wall: {wall:.2f}s for {len(questions)} questions = "
             f"{len(questions) / wall:.3f} questions/sec"
         )
+        print(json.dumps({
+            "serving_wall_s": round(wall, 2), "questions": len(questions),
+            "questions_per_sec": round(len(questions) / wall, 4) if wall else 0.0,
+        }), flush=True)
     os.rename(temp_output_path, done_output_path)
     _merge_chunks(cfg, result_dir, tag, all_questions_id, merged_path)
 
@@ -413,11 +417,17 @@ def _engine_eval(
         + (f", {s.tokens_per_step:.2f} tokens/verify-step" if cfg.speculative else "")
     )
     # serving wall incl. first-program compiles — warm-cache reruns measure
-    # steady state (scripts/bench_vidlm_prefix.py parses this line)
+    # steady state. The plain-stdout JSON line is machine-readable
+    # (scripts/bench_vidlm_prefix.py; the console log above line-wraps)
     overwatch.info(
         f"Serving wall: {wall:.2f}s for {served} questions = "
         f"{served / wall:.3f} questions/sec"
     )
+    print(json.dumps({
+        "serving_wall_s": round(wall, 2), "questions": served,
+        "questions_per_sec": round(served / wall, 4) if wall else 0.0,
+        "prefills": s.prefills, "prefix_admissions": s.prefix_admissions,
+    }), flush=True)
 
 
 if __name__ == "__main__":
