@@ -21,6 +21,14 @@ Usage:  python scripts/bench_tower_attn.py            # orchestrate all impls
 
 from __future__ import annotations
 
+try:  # installed (`pip install -e .`); else fall back to the source checkout
+    import merv_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import os

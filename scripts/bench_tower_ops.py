@@ -17,6 +17,14 @@ Usage:  python scripts/bench_tower_ops.py [--tower dinov2|languagebind|siglip|vi
 
 from __future__ import annotations
 
+try:  # installed (`pip install -e .`); else fall back to the source checkout
+    import merv_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import sys
 import time

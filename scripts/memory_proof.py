@@ -28,6 +28,14 @@ Usage: python scripts/memory_proof.py [--stage align|finetune|both]
 
 from __future__ import annotations
 
+try:  # installed (`pip install -e .`); else fall back to the source checkout
+    import merv_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import os
 import sys
 

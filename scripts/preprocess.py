@@ -3,6 +3,14 @@
 Run with: ``python scripts/preprocess.py --dataset_id <DATASET_ID>``
 """
 
+try:  # installed (`pip install -e .`); else fall back to the source checkout
+    import merv_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from pathlib import Path
 
 

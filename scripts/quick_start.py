@@ -1,5 +1,13 @@
 """Canonical inference example (parity: reference ``scripts/quick_start.py``)."""
 
+try:  # installed (`pip install -e .`); else fall back to the source checkout
+    import merv_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from pathlib import Path
 
 from merv_tpu.models.load_vid import load_vid
