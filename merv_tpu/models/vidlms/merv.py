@@ -35,7 +35,9 @@ TPU-native differences:
 from __future__ import annotations
 
 import math
+import os
 import re
+import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -562,14 +564,26 @@ class MERV(VidLM):
             video = _load_media(video, max(num_frames), **(clip_args or {}))
         video = np.asarray(video)
         vids = []
+        _dbg = os.environ.get("MERV_TPU_DEBUG_PREFIX_TIMING") == "1"
         for vb, nf in zip(self.video_backbones, num_frames):
+            _t0 = time.perf_counter()
             frames = subsample_frames(video, nf)
-            vids.append(vb.get_video_transform()(jnp.asarray(frames))[None])
+            v = vb.get_video_transform()(jnp.asarray(frames))[None]
+            if _dbg:
+                v.block_until_ready()
+                overwatch.info(
+                    f"[prefix-timing] {type(vb).__name__} transform {nf}f: "
+                    f"{time.perf_counter() - _t0:.2f}s"
+                )
+            vids.append(v)
 
+        _t0 = time.perf_counter()
         nbos = self.llm_backbone.bos_token_length
         if bos_ids is None:
             bos = self.llm_backbone.tokenizer(".", truncation=True).input_ids[:nbos]
             bos_ids = jnp.asarray([bos], jnp.int32) if nbos else jnp.zeros((1, 1), jnp.int32)
+        if _dbg:
+            overwatch.info(f"[prefix-timing] bos tokenize: {time.perf_counter() - _t0:.2f}s")
 
         cache = self.__dict__.setdefault("_serve_jit_cache", {})
         key = ("vprefix", kv_cache_dtype)
@@ -592,10 +606,14 @@ class MERV(VidLM):
             fn = jax.jit(run)
             cache[key] = fn
         bos_tuple = tuple(int(t) for t in np.asarray(bos_ids)[0]) if nbos else ()
-        return VideoPrefix(
-            cache=fn(params, vids, bos_ids), bos_ids=bos_tuple,
-            kv_cache_dtype=kv_cache_dtype,
-        )
+        if _dbg:
+            overwatch.info(f"[prefix-timing] bos sync: {time.perf_counter() - _t0:.2f}s")
+            _t0 = time.perf_counter()
+        out = fn(params, vids, bos_ids)
+        if _dbg:
+            jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+            overwatch.info(f"[prefix-timing] prefix program: {time.perf_counter() - _t0:.2f}s")
+        return VideoPrefix(cache=out, bos_ids=bos_tuple, kv_cache_dtype=kv_cache_dtype)
 
     def generate_ids_shared(
         self,

@@ -4,9 +4,12 @@ on the full-size 4-tower merv-full model.
 
 Workload: ``eval_data/dummy_openended_scaled`` — 4 videos x 8 questions (the
 shape of the reference's eval sets, which ask several questions per video).
-Three modes, each in its own subprocess (fresh HBM) and run twice (the first
-warms the persistent compile cache; the SECOND run's serving wall is the
-steady-state number):
+Three modes, each in its own subprocess (fresh HBM) with
+``--serving_passes 2``: the workload is served twice IN-PROCESS and the
+reported wall is the second pass, so every mode's one-time jit compiles
+(minutes through the remote-compile tunnel; cache-key-stable only while the
+source tree is fixed) land in pass 1 and the number is steady-state serving
+— what a full-size eval set (hundreds of questions per program set) sees:
 
 - ``engine_shared``   — ``--use_engine --share_video_prefix``: towers + the
   [BOS | visual] prefill run ONCE per video (``register_prefix_video``);
@@ -59,7 +62,7 @@ def _run_once(mode: str, max_new: int, slots: int) -> dict:
         "--model_path", RUN, "--eval_dataset", DATASET,
         "--allow_random_weights", "true", "--quantize_llm", "true",
         "--int8_kv", "true", "--max_new_tokens", str(max_new),
-        "--skip_flops", "true",
+        "--skip_flops", "true", "--serving_passes", "2",
     ]
     # single-chip HBM budget beside the int8 7B + bf16 towers: engine slot
     # cache (slots x 2048 int8 rows) + registered video prefixes (~0.26 GiB
@@ -106,8 +109,9 @@ def main() -> None:
                        check=True, cwd=ROOT)
     out = {"dataset": DATASET, "max_new_tokens": max_new, "slots": slots}
     for mode in ("engine_shared", "engine_unshared", "group"):
-        _run_once(mode, max_new, slots)  # cold: warms the compile cache
-        out[mode] = _run_once(mode, max_new, slots)  # warm: the number
+        # one subprocess per mode; --serving_passes 2 inside it makes the
+        # reported wall the steady-state second pass
+        out[mode] = _run_once(mode, max_new, slots)
     qs = {m: out[m]["questions_per_sec"] for m in ("engine_shared", "engine_unshared", "group")}
     out["shared_vs_unshared"] = round(qs["engine_shared"] / qs["engine_unshared"], 3)
     out["shared_vs_group"] = round(qs["engine_shared"] / qs["group"], 3)

@@ -79,6 +79,10 @@ class EvalConfig:
     #                                               # once per video). Composes with --speculative / --int8_kv /
     #                                               # --mesh_seq; --batch_size is ignored (slots replace groups).
     engine_slots: int = 4                           # concurrent decode slots (HBM-bound: KV rows x slots)
+    serving_passes: int = 1                         # serve the workload N times in-process and report the
+    #                                               # LAST pass: first-invocation jit compiles (minutes through
+    #                                               # a remote-compile tunnel) land in pass 1, so passes >= 2
+    #                                               # measures steady-state serving; results written once
     share_video_prefix: bool = True                 # with --use_engine: suffix-only admission per repeated video
     prefix_budget: int = 4                          # max simultaneously registered prefixes (HBM bound)
     # fmt: on
@@ -211,15 +215,22 @@ def evaluate(cfg: EvalConfig) -> None:
         return
 
     groups = [questions[s : s + cfg.batch_size] for s in range(0, len(questions), cfg.batch_size)]
-    decoded_iter = (
-        prefetch_map(groups, _decode_group) if cfg.batch_size > 1
-        else ((g, None) for g in groups)
-    )
 
-    serve_t0 = time.perf_counter()
+    # --serving_passes N: like the engine path, extra in-process passes push
+    # first-invocation jit compiles into pass 1 and the LAST pass measures
+    # steady-state serving; results are written once, on the final pass
+    passes = max(cfg.serving_passes, 1)
+    pass_walls = []
     with open(temp_output_path, "w") as f:
-        for line in done_lines:  # re-emit carried-over results
-            f.write(line if line.endswith("\n") else line + "\n")
+      for line in done_lines:  # re-emit carried-over results
+          f.write(line if line.endswith("\n") else line + "\n")
+      for p in range(passes):
+        write_results = p == passes - 1
+        decoded_iter = (
+            prefetch_map(groups, _decode_group) if cfg.batch_size > 1
+            else ((g, None) for g in groups)
+        )
+        serve_t0 = time.perf_counter()
         for start, (group, decoded) in zip(range(0, len(questions), cfg.batch_size), decoded_iter):
             prepped = [_prep(q) for q in group]
             preds = [None] * len(group)
@@ -250,24 +261,28 @@ def evaluate(cfg: EvalConfig) -> None:
                 try:
                     if pred is None:  # bsz-1 path or batch-failure retry
                         pred = _generate_one(question, prompt_text, clip)
-                    out = {**question, **answers_dict[question["question_id"]]}
-                    out["pred"] = pred
-                    f.write(json.dumps(out) + "\n")
+                    if write_results:
+                        out = {**question, **answers_dict[question["question_id"]]}
+                        out["pred"] = pred
+                        f.write(json.dumps(out) + "\n")
                 except Exception as e:  # per-video fault tolerance (reference :169-188)
                     overwatch.error(f"Failed on {question.get('question_id')}: {type(e).__name__}: {e}")
             # flush per group so a killed shard loses at most one group
             # (the old 100-boundary heuristic never fired at batch_size 1,
             # buffering the whole run against the resume machinery)
             f.flush()
-    wall = time.perf_counter() - serve_t0
+        pass_walls.append(time.perf_counter() - serve_t0)
+    wall = pass_walls[-1]
     if questions:
         overwatch.info(
             f"Serving wall: {wall:.2f}s for {len(questions)} questions = "
             f"{len(questions) / wall:.3f} questions/sec"
+            + (f" (pass 1 incl. compiles: {pass_walls[0]:.2f}s)" if passes > 1 else "")
         )
         print(json.dumps({
             "serving_wall_s": round(wall, 2), "questions": len(questions),
             "questions_per_sec": round(len(questions) / wall, 4) if wall else 0.0,
+            "passes": passes, "cold_wall_s": round(pass_walls[0], 2),
         }), flush=True)
     os.rename(temp_output_path, done_output_path)
     _merge_chunks(cfg, result_dir, tag, all_questions_id, merged_path)
@@ -325,11 +340,21 @@ def _engine_eval(
     by_q = {str(q["question_id"]): q for q in questions}
 
     serve_t0 = time.perf_counter()
+    # extra passes re-serve the identical workload in-process so the LAST
+    # pass measures steady-state serving (first-invocation jit compiles —
+    # minutes through a remote-compile tunnel — all land in pass 1); results
+    # are written only on the final pass, so answers and the resume protocol
+    # are unchanged
+    passes = max(cfg.serving_passes, 1)
+    write_results = passes == 1
+    register_s = [0.0]
     with open(temp_output_path, "w") as f:
         for line in done_lines:  # re-emit carried-over results
             f.write(line if line.endswith("\n") else line + "\n")
 
         def on_result(res) -> None:
+            if not write_results:
+                return
             q = by_q[res.request_id]
             if res.finish_reason == "error":
                 # per-item fault tolerance (reference :169-188): log + skip —
@@ -388,7 +413,9 @@ def _engine_eval(
                 if shared:
                     pid = f"video:{video_name}:{hash(clip_items) & 0xFFFFFFFF:x}"
                     try:
+                        _rt0 = time.perf_counter()
                         engine.register_prefix_video(pid, video, num_frames=model_cfg.num_frames)
+                        register_s[-1] += time.perf_counter() - _rt0
                         live.append(pid)
                     except Exception as e:
                         overwatch.error(
@@ -408,33 +435,59 @@ def _engine_eval(
                 engine.unregister_prefix(pid)
             wave_keys.clear()
 
-        for key in order:
-            wave_keys.append(key)
-            if len(wave_keys) >= budget:
-                run_wave()
-        run_wave()
+        pass_walls = []
+        prev = None
+        for p in range(passes):
+            write_results = p == passes - 1
+            if p:
+                register_s.append(0.0)
+            s = engine.stats
+            prev = (s.admit_s, s.decode_s, s.prefills, s.prefix_admissions,
+                    s.errors, len(s.ttft_s))
+            pt0 = time.perf_counter()
+            for key in order:
+                wave_keys.append(key)
+                if len(wave_keys) >= budget:
+                    run_wave()
+            run_wave()
+            pass_walls.append(time.perf_counter() - pt0)
 
+    # final-pass deltas: with extra warmup passes the cumulative stats would
+    # double-count, and the LAST pass is the steady-state measurement
     s = engine.stats
-    wall = time.perf_counter() - serve_t0
-    served = len(questions) - s.errors
+    admit_s = s.admit_s - prev[0]
+    decode_s = s.decode_s - prev[1]
+    prefills = s.prefills - prev[2]
+    prefix_admissions = s.prefix_admissions - prev[3]
+    errors = s.errors - prev[4]
+    ttft = sorted(s.ttft_s[prev[5]:])
+    wall = pass_walls[-1]
+    served = len(questions) - errors
     overwatch.info(
         f"Engine served chunk: slot utilization {s.slot_utilization:.1%}, "
-        f"{s.prefills} prefills ({s.prefix_admissions} suffix-only), "
+        f"{prefills} prefills ({prefix_admissions} suffix-only), "
         f"{s.decode_chunks} chunks"
-        + (f", {s.errors} failed" if s.errors else "")
+        + (f", {errors} failed" if errors else "")
         + (f", {s.tokens_per_step:.2f} tokens/verify-step" if cfg.speculative else "")
     )
-    # serving wall incl. first-program compiles — warm-cache reruns measure
-    # steady state. The plain-stdout JSON line is machine-readable
-    # (scripts/bench_vidlm_prefix.py; the console log above line-wraps)
+    # with --serving_passes 1 the wall includes first-program compiles
+    # (minutes through a remote-compile tunnel); passes >= 2 report the
+    # final in-process pass = steady state. The plain-stdout JSON line is
+    # machine-readable (scripts/bench_vidlm_prefix.py; the console log
+    # line-wraps)
     overwatch.info(
         f"Serving wall: {wall:.2f}s for {served} questions = "
         f"{served / wall:.3f} questions/sec"
+        + (f" (pass 1 incl. compiles: {pass_walls[0]:.2f}s)" if passes > 1 else "")
     )
     print(json.dumps({
         "serving_wall_s": round(wall, 2), "questions": served,
         "questions_per_sec": round(served / wall, 4) if wall else 0.0,
-        "prefills": s.prefills, "prefix_admissions": s.prefix_admissions,
+        "prefills": prefills, "prefix_admissions": prefix_admissions,
+        "passes": passes, "cold_wall_s": round(pass_walls[0], 2),
+        "admit_s": round(admit_s, 2), "decode_s": round(decode_s, 2),
+        "register_s": round(register_s[-1], 2),
+        "ttft_p50_ms": round(1e3 * ttft[len(ttft) // 2], 1) if ttft else None,
     }), flush=True)
 
 

@@ -540,3 +540,56 @@ def test_eval_openended_engine_with_prefix_sharing(tmp_path, monkeypatch):
     assert set(outs[True]) == {"e0", "e1", "e2"}
     for qid in outs[True]:
         assert outs[True][qid] == outs[False][qid], qid
+
+
+def test_eval_openended_serving_passes_steady_state(tmp_path, monkeypatch):
+    """--serving_passes 2: the workload is served twice in-process (pass 1
+    absorbs first-invocation jit compiles; the reported wall is the steady
+    final pass) and the written predictions are IDENTICAL to a single-pass
+    run — for both the engine and the group serving paths."""
+    import shutil
+
+    from scripts.eval_openended import EvalConfig, evaluate
+
+    run_dir = _make_run_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    data_root = tmp_path / "eval_data"
+    dd = data_root / "dummy_openended"
+    dd.mkdir(parents=True)
+    shutil.copytree(REPO / "eval_data" / "dummy_openended" / "videos", dd / "videos")
+    qs = [
+        {"video_name": "scene_0", "question_id": "p0", "question": "Describe the dominant color."},
+        {"video_name": "scene_0", "question_id": "p1", "question": "What changes over time?"},
+        {"video_name": "scene_1", "question_id": "p2", "question": "Describe the scene."},
+    ]
+    json.dump(qs, open(dd / "test_q.json", "w"))
+    json.dump([{"question_id": q["question_id"], "answer": "x"} for q in qs],
+              open(dd / "test_a.json", "w"))
+
+    outs = {}
+    for tag, engine, passes in (
+        ("engine1", True, 1), ("engine2", True, 2), ("group2", False, 2)
+    ):
+        cfg = EvalConfig(
+            model_path=str(run_dir),
+            eval_dataset="dummy_openended",
+            max_new_tokens=3,
+            eval_data_root=data_root,
+            eval_result_root=tmp_path / f"eval_result_{tag}",
+            skip_flops=True,
+            use_engine=engine,
+            engine_slots=2,
+            serving_passes=passes,
+            allow_random_weights=True,
+        )
+        evaluate(cfg=cfg)
+        merged = (tmp_path / f"eval_result_{tag}" / str(run_dir)
+                  / "dummy_openended_pred_merge.jsonl")
+        rows = [json.loads(line) for line in merged.read_text().splitlines()]
+        outs[tag] = {r["question_id"]: r["pred"] for r in rows}
+        # one prediction per question — pass 1 must not double-write
+        assert sorted(r["question_id"] for r in rows) == ["p0", "p1", "p2"], tag
+
+    assert outs["engine2"] == outs["engine1"]
+    assert outs["group2"] == outs["engine1"]
