@@ -222,56 +222,56 @@ def evaluate(cfg: EvalConfig) -> None:
     passes = max(cfg.serving_passes, 1)
     pass_walls = []
     with open(temp_output_path, "w") as f:
-      for line in done_lines:  # re-emit carried-over results
-          f.write(line if line.endswith("\n") else line + "\n")
-      for p in range(passes):
-        write_results = p == passes - 1
-        decoded_iter = (
-            prefetch_map(groups, _decode_group) if cfg.batch_size > 1
-            else ((g, None) for g in groups)
-        )
-        serve_t0 = time.perf_counter()
-        for start, (group, decoded) in zip(range(0, len(questions), cfg.batch_size), decoded_iter):
-            prepped = [_prep(q) for q in group]
-            preds = [None] * len(group)
-            if cfg.batch_size > 1:
-                # one prefill + one decode program per group (same TPU batching
-                # win as eval_mcq); video failures fall back to the per-item
-                # path below so one corrupt file never drops the whole group
-                try:
-                    if isinstance(decoded, Exception):
-                        raise decoded
-                    good = [i for i, a in enumerate(decoded) if not isinstance(a, Exception)]
-                    if len(good) < len(group):
-                        overwatch.error(f"{len(group) - len(good)} item(s) failed host decode; batching the rest")
-                    if good:
-                        sub_preds = vidlm.generate_batch(
-                            params, [decoded[i] for i in good], [prepped[i][0] for i in good],
-                            num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
-                            do_sample=cfg.do_sample, temperature=cfg.temperature,
-                            min_length=cfg.min_length, pad_to_batch=cfg.batch_size,
-                        kv_cache_dtype=("int8" if cfg.int8_kv else None), mesh=serve_mesh,
-                        )
-                        for i, p in zip(good, sub_preds):
-                            preds[i] = p
-                except Exception as e:
-                    overwatch.error(f"Batched generate failed ({type(e).__name__}: {e}); retrying per-item")
-                    preds = [None] * len(group)
-            for question, (prompt_text, clip), pred in zip(group, prepped, preds):
-                try:
-                    if pred is None:  # bsz-1 path or batch-failure retry
-                        pred = _generate_one(question, prompt_text, clip)
-                    if write_results:
-                        out = {**question, **answers_dict[question["question_id"]]}
-                        out["pred"] = pred
-                        f.write(json.dumps(out) + "\n")
-                except Exception as e:  # per-video fault tolerance (reference :169-188)
-                    overwatch.error(f"Failed on {question.get('question_id')}: {type(e).__name__}: {e}")
-            # flush per group so a killed shard loses at most one group
-            # (the old 100-boundary heuristic never fired at batch_size 1,
-            # buffering the whole run against the resume machinery)
-            f.flush()
-        pass_walls.append(time.perf_counter() - serve_t0)
+        for line in done_lines:  # re-emit carried-over results
+            f.write(line if line.endswith("\n") else line + "\n")
+        for p in range(passes):
+            write_results = p == passes - 1
+            decoded_iter = (
+                prefetch_map(groups, _decode_group) if cfg.batch_size > 1
+                else ((g, None) for g in groups)
+            )
+            serve_t0 = time.perf_counter()
+            for start, (group, decoded) in zip(range(0, len(questions), cfg.batch_size), decoded_iter):
+                prepped = [_prep(q) for q in group]
+                preds = [None] * len(group)
+                if cfg.batch_size > 1:
+                    # one prefill + one decode program per group (same TPU batching
+                    # win as eval_mcq); video failures fall back to the per-item
+                    # path below so one corrupt file never drops the whole group
+                    try:
+                        if isinstance(decoded, Exception):
+                            raise decoded
+                        good = [i for i, a in enumerate(decoded) if not isinstance(a, Exception)]
+                        if len(good) < len(group):
+                            overwatch.error(f"{len(group) - len(good)} item(s) failed host decode; batching the rest")
+                        if good:
+                            sub_preds = vidlm.generate_batch(
+                                params, [decoded[i] for i in good], [prepped[i][0] for i in good],
+                                num_frames=model_cfg.num_frames, max_new_tokens=cfg.max_new_tokens,
+                                do_sample=cfg.do_sample, temperature=cfg.temperature,
+                                min_length=cfg.min_length, pad_to_batch=cfg.batch_size,
+                            kv_cache_dtype=("int8" if cfg.int8_kv else None), mesh=serve_mesh,
+                            )
+                            for i, p in zip(good, sub_preds):
+                                preds[i] = p
+                    except Exception as e:
+                        overwatch.error(f"Batched generate failed ({type(e).__name__}: {e}); retrying per-item")
+                        preds = [None] * len(group)
+                for question, (prompt_text, clip), pred in zip(group, prepped, preds):
+                    try:
+                        if pred is None:  # bsz-1 path or batch-failure retry
+                            pred = _generate_one(question, prompt_text, clip)
+                        if write_results:
+                            out = {**question, **answers_dict[question["question_id"]]}
+                            out["pred"] = pred
+                            f.write(json.dumps(out) + "\n")
+                    except Exception as e:  # per-video fault tolerance (reference :169-188)
+                        overwatch.error(f"Failed on {question.get('question_id')}: {type(e).__name__}: {e}")
+                # flush per group so a killed shard loses at most one group
+                # (the old 100-boundary heuristic never fired at batch_size 1,
+                # buffering the whole run against the resume machinery)
+                f.flush()
+            pass_walls.append(time.perf_counter() - serve_t0)
     wall = pass_walls[-1]
     if questions:
         overwatch.info(
@@ -339,7 +339,6 @@ def _engine_eval(
     )
     by_q = {str(q["question_id"]): q for q in questions}
 
-    serve_t0 = time.perf_counter()
     # extra passes re-serve the identical workload in-process so the LAST
     # pass measures steady-state serving (first-invocation jit compiles —
     # minutes through a remote-compile tunnel — all land in pass 1); results
