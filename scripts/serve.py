@@ -238,6 +238,15 @@ def serve(cfg: ServeConfig) -> None:
         + (f", {s.errors} failed (finish_reason=error)" if s.errors else "")
         + (f", {s.tokens_per_step:.2f} tokens/verify-step" if cfg.speculative else "")
     )
+    # phase attribution (the same telemetry the eval drivers emit): admit_s
+    # includes first-invocation jit compiles on a cold process — see
+    # BASELINE.md "Round 5" on separating compile cost from steady serving
+    ttft = sorted(s.ttft_s)
+    overwatch.info(
+        f"Phases: admit {s.admit_s:.2f}s, decode {s.decode_s:.2f}s, "
+        f"prefill stall share {s.prefill_stall_share:.3f}"
+        + (f", ttft p50 {1e3 * ttft[len(ttft) // 2]:.0f}ms" if ttft else "")
+    )
     overwatch.info(f"Results -> {cfg.output}")
 
 
